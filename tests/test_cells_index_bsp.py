@@ -1,0 +1,133 @@
+"""Unit tests for cell encoding, polygon index, and the BSP tile tree."""
+
+import numpy as np
+
+from osm2mp_spark.geometry.cells import (
+    cell_bounds,
+    cell_cover_bbox,
+    cell_of,
+)
+from osm2mp_spark.spatial.bsp import build_bsp_tiles, density_histogram
+from osm2mp_spark.spatial.index import Polygon, PolygonIndex
+
+rng = np.random.default_rng(42)
+
+
+class TestCells:
+    def test_roundtrip_bounds(self):
+        lons = rng.uniform(-180, 180, 500)
+        lats = rng.uniform(-90, 90, 500)
+        cids = cell_of(lons, lats, level=7)
+        for lon, lat, cid in zip(lons, lats, cids):
+            minlon, minlat, maxlon, maxlat = cell_bounds(int(cid))
+            assert minlon <= lon < maxlon + 1e-9
+            assert minlat <= lat < maxlat + 1e-9
+
+    def test_distinct_levels_distinct_ids(self):
+        a = cell_of([0.0], [0.0], level=5)[0]
+        b = cell_of([0.0], [0.0], level=7)[0]
+        assert a != b
+
+    def test_cover_contains_point_cells(self):
+        lons = rng.uniform(0, 10, 200)
+        lats = rng.uniform(0, 10, 200)
+        cover = set(int(c) for c in cell_cover_bbox(0, 0, 10, 10, level=7))
+        for c in cell_of(lons, lats, level=7):
+            assert int(c) in cover
+
+    def test_clamp_at_antimeridian(self):
+        c = cell_of([180.0, -180.0], [90.0, -90.0], level=7)
+        for cid in c:
+            b = cell_bounds(int(cid))
+            assert -180.0 <= b[0] and b[2] <= 180.0
+
+
+class TestPolygonIndex:
+    def _polys(self):
+        city = Polygon("city_a", [[(0, 0), (8, 0), (8, 8), (0, 8), (0, 0)]])
+        donut = Polygon(
+            "city_hole",
+            [[(20, 20), (40, 20), (40, 40), (20, 40), (20, 20)]],
+            [[(28, 28), (32, 28), (32, 32), (28, 32), (28, 28)]],
+        )
+        return [city, donut]
+
+    def test_index_matches_bruteforce(self):
+        idx = PolygonIndex(self._polys(), level=7)
+        lons = rng.uniform(-10, 50, 2000)
+        lats = rng.uniform(-10, 50, 2000)
+        got = idx.find_smallest_containing(lons, lats)
+        for p in self._polys():
+            exact = p.contains(lons, lats) >= 0
+            claimed = got == p.area_id
+            # every point claimed for p must be exactly inside
+            assert not np.any(claimed & ~exact)
+        # every point inside exactly one polygon must be claimed
+        a, b = self._polys()
+        only_a = (a.contains(lons, lats) >= 0) & (b.contains(lons, lats) < 0)
+        assert np.all(got[only_a] == "city_a")
+
+    def test_hole_not_contained(self):
+        idx = PolygonIndex(self._polys(), level=7)
+        got = idx.find_smallest_containing(np.array([30.0]), np.array([30.0]))
+        assert got[0] is None
+
+    def test_smallest_wins_on_overlap(self):
+        big = Polygon("big", [[(0, 0), (100, 0), (100, 100), (0, 100), (0, 0)]])
+        small = Polygon("small", [[(10, 10), (20, 10), (20, 20), (10, 20), (10, 10)]])
+        idx = PolygonIndex([big, small], level=7)
+        got = idx.find_smallest_containing(np.array([15.0, 50.0]), np.array([15.0, 50.0]))
+        assert list(got) == ["small", "big"]
+
+    def test_cell_entries_cover_polygons(self):
+        idx = PolygonIndex(self._polys(), level=7)
+        entries = idx.entries()
+        assert len(entries) > 0
+        cells_a = [e for e in entries if e[1] == "city_a"]
+        assert len(cells_a) >= 1
+
+
+class TestBSP:
+    def test_histogram_counts(self):
+        lons = np.array([0.01, 0.01, 0.05, -0.01])
+        lats = np.array([0.01, 0.015, 0.01, -0.01])
+        ix, iy, counts = density_histogram(lons, lats)
+        assert counts.sum() == 4
+        assert len(counts) == 3  # three distinct cells (incl. negative cell)
+
+    def test_partition_is_exact_cover(self):
+        lons = rng.uniform(-10, 10, 5000)
+        lats = rng.uniform(-10, 10, 5000)
+        tree = build_bsp_tiles(lons, lats, max_tile_nodes=500)
+        tid = tree.assign(lons, lats)
+        assert np.all(tid >= 0)
+        leaves = tree.leaves()
+        assert len(leaves) >= 5000 // 500
+        # tile ids are a contiguous renumbering in canonical order
+        assert sorted(t[0] for t in leaves) == list(range(len(leaves)))
+
+    def test_skewed_hotspot_gets_split(self):
+        hot = rng.normal(0, 0.5, (20000, 2))
+        sparse = np.column_stack(
+            [rng.uniform(-50, 50, 1000), rng.uniform(-50, 50, 1000)]
+        )
+        pts = np.vstack([hot, sparse])
+        tree = build_bsp_tiles(pts[:, 0], pts[:, 1], max_tile_nodes=2000)
+        tid = tree.assign(pts[:, 0], pts[:, 1])
+        # hotspot area must be covered by many tiles
+        hot_tiles = len(np.unique(tid[:20000]))
+        assert hot_tiles >= 8
+        # determinism: rebuild gives identical assignment
+        tree2 = build_bsp_tiles(pts[:, 0], pts[:, 1], max_tile_nodes=2000)
+        assert np.array_equal(tid, tree2.assign(pts[:, 0], pts[:, 1]))
+
+    def test_assignment_matches_leaf_bbox(self):
+        lons = rng.uniform(-5, 5, 3000)
+        lats = rng.uniform(-5, 5, 3000)
+        tree = build_bsp_tiles(lons, lats, max_tile_nodes=300)
+        tid = tree.assign(lons, lats)
+        boxes = {t[0]: t[1:] for t in tree.leaves()}
+        for i in range(0, 3000, 97):
+            minlon, minlat, maxlon, maxlat = boxes[int(tid[i])]
+            assert minlon - 1e-9 <= lons[i] <= maxlon + 1e-9
+            assert minlat - 1e-9 <= lats[i] <= maxlat + 1e-9
