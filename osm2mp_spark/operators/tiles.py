@@ -1,0 +1,122 @@
+"""Tile assignment + closure — the splitter semantics on Spark (J13/J14/I3).
+
+The reference splitter (`_old/splitter.pl`) assigns every node to a tile by
+brute-force bbox scan (:338-356), then pulls ways into every tile that holds
+any of their nodes, iterates relation closure, and redistributes way nodes
+(:362-465). Here:
+
+- point → tile: O(depth) vectorized descent of the broadcast BSP tree inside
+  a pandas UDF — no join, no shuffle (disjoint recursive partition).
+- fixed-grid variant (`grid_tile_expr`): pure-SQL tile id for rectangular
+  grids — whole-stage codegen, and the exact-arithmetic twin the DuckDB
+  oracle can reproduce.
+- chain → tile closure: explode(chain) → point assignment → groupBy any()
+  — the semi-join formulation of splitter.pl:362-381.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..spatial.bsp import BSPTileTree
+
+
+def grid_tile_expr(lon: str, lat: str, nx: int = 16, ny: int = 16) -> str:
+    """SQL expression for a fixed nx×ny world-grid tile id (row-major from
+    the south-west corner). Exact arithmetic — reproducible in DuckDB."""
+    ix = f"LEAST({nx - 1}, GREATEST(0, CAST(FLOOR(({lon} + 180.0) / 360.0 * {nx}) AS INT)))"
+    iy = f"LEAST({ny - 1}, GREATEST(0, CAST(FLOOR(({lat} + 90.0) / 180.0 * {ny}) AS INT)))"
+    return f"({iy} * {nx} + {ix})"
+
+
+def assign_tiles_bsp(
+    df: DataFrame,
+    tree: BSPTileTree,
+    lon: str = "lon",
+    lat: str = "lat",
+    out_col: str = "tile_id",
+) -> DataFrame:
+    """Attach the BSP tile id to every row (broadcast tree, Arrow UDF)."""
+    btree = df.sparkSession.sparkContext.broadcast(tree)
+
+    @F.pandas_udf("int")
+    def _tile(lon_s: pd.Series, lat_s: pd.Series) -> pd.Series:
+        return pd.Series(btree.value.assign(lon_s.to_numpy(), lat_s.to_numpy()))
+
+    return df.withColumn(out_col, _tile(F.col(lon), F.col(lat)))
+
+
+def assign_tiles_grid(
+    df: DataFrame, lon: str = "lon", lat: str = "lat", nx: int = 16, ny: int = 16,
+    out_col: str = "tile_id",
+) -> DataFrame:
+    return df.withColumn(out_col, F.expr(grid_tile_expr(lon, lat, nx, ny)))
+
+
+def chain_tile_closure(
+    points: DataFrame,
+    chain_col: str = "chain_id",
+    tile_col: str = "tile_id",
+) -> DataFrame:
+    """Way→tile closure (splitter.pl:362-381): a chain belongs to every tile
+    containing ≥1 of its points. Input: per-point rows already carrying
+    (chain_col, tile_col). Output: distinct (chain_id, tile_id).
+
+    This is a map-side-combinable distinct — at scale it shuffles only the
+    (chain, tile) key pairs, never the geometry."""
+    return points.select(chain_col, tile_col).distinct()
+
+
+def redistribute_nodes(
+    points: DataFrame,
+    chain_tiles: DataFrame,
+    point_col: str = "point_id",
+    chain_col: str = "chain_id",
+    tile_col: str = "tile_id",
+) -> DataFrame:
+    """Node redistribution (splitter.pl:445-465): after closure, every chain
+    pulls ALL its points into each of its tiles. Output: distinct
+    (point_id, tile_id) — the union of direct assignment and pulled-in."""
+    pulled = (
+        points.select(point_col, chain_col)
+        .join(chain_tiles, chain_col)
+        .select(point_col, tile_col)
+    )
+    direct = points.select(point_col, tile_col)
+    return direct.unionByName(pulled).distinct()
+
+
+def salted_repartition(
+    df: DataFrame,
+    key_col: str,
+    hot_counts: dict[int | str, int],
+    rows_per_partition: int,
+    num_partitions: int | None = None,
+    det_col: str | None = None,
+) -> DataFrame:
+    """Explicit skew defuser (north rule): repartition on (key, salt) where
+    hot keys — per the A4-style histogram `hot_counts` {key: row_count} —
+    get ceil(count / rows_per_partition) salt values and cold keys get 1.
+
+    The salt is DETERMINISTIC — derived from `det_col` (any stable row id,
+    default a hash of all columns) modulo the key's salt factor — so reruns
+    at different parallelism produce identical partitions-by-content
+    (BASELINE.md determinism check). The same math as the reference
+    splitter's √count-weighted split of dense cells (_old/splitter.pl:226-247):
+    cells over threshold get subdivided, others don't."""
+    spark = df.sparkSession
+    factors = [
+        (k, max(1, -(-int(n) // rows_per_partition))) for k, n in hot_counts.items()
+    ]
+    fdf = spark.createDataFrame(factors, f"{key_col} string, __salt_n int") \
+        if factors and isinstance(factors[0][0], str) else spark.createDataFrame(
+            factors, f"{key_col} bigint, __salt_n int")
+    det = F.xxhash64(det_col) if det_col else F.xxhash64(*df.columns)
+    salted = (
+        df.join(F.broadcast(fdf), key_col, "left")
+        .withColumn("__salt_n", F.coalesce(F.col("__salt_n"), F.lit(1)))
+        .withColumn("__salt", F.pmod(det, F.col("__salt_n")))
+    )
+    n = num_partitions or max(spark.sparkContext.defaultParallelism, 1)
+    return salted.repartition(n, F.col(key_col), F.col("__salt")).drop("__salt_n", "__salt")

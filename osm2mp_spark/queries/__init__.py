@@ -1,0 +1,34 @@
+"""Query registry: every implemented operator exposed as a (spark_fn, oracle_sql)
+pair for the driver's correctness gate (__spark_entry__ re-exports these).
+
+spark_fn: Callable[(SparkSession, sf_dir)] -> DataFrame, built on the engine's
+operators. oracle_sql: equivalent DuckDB SQL over the same parquet views, or
+None for non-SQL-expressible ops (driver then records a rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+QUERIES: dict[str, Callable] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import all query modules (idempotent) so the registry is populated."""
+    from . import spatial  # noqa: F401
+    from . import chains  # noqa: F401
+    from . import dedup  # noqa: F401
+    from . import text  # noqa: F401
+    from . import similarity  # noqa: F401
+    from . import rules  # noqa: F401

@@ -1,0 +1,397 @@
+"""Spatial queries over the driver's parquet tables (SURVEY §2.3-2.5).
+
+Points derive from integer keys via sources.points (exact arithmetic, bit-
+identical across Spark/DuckDB/numpy). Polygon layers are the deterministic
+fixtures in sources.layers; their literals are shared with the oracle SQL
+through repr().
+
+Operators exercised here (SURVEY ids): J2 (PIP city containment incl. holes
+and canonical smallest-area overlap rule), J3 (hierarchical address lookup),
+J15 (kNN nearest-city fallback), J5 (access-area flag OR), J13/J14 (tile
+assignment + chain→tile closure), G2/W4 (chain clipping, gaps-and-islands),
+A1 (node degree), A4 (density histogram), W5 (deterministic numbering).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..operators.clip import clip_chains_to_bbox, clip_oracle_sql
+from ..operators.knn import knn_bruteforce
+from ..operators.pip_join import pip_flags_or, pip_join
+from ..operators.tiles import assign_tiles_grid, chain_tile_closure, grid_tile_expr
+from ..sources.layers import (
+    ACCESS_AREAS,
+    BOUNDARY,
+    CITIES,
+    COUNTRIES,
+    REGIONS,
+    access_values_sql,
+    centers_values_sql,
+    city_polygons,
+    country_polygons,
+    edges_values_sql,
+    hole_edges_values_sql,
+    region_polygons,
+)
+from ..sources.points import derived_lat_sql, derived_lon_sql, with_derived_position
+from ..spatial.index import Polygon, PolygonIndex
+from . import register
+
+# ---------------------------------------------------------------------------
+# shared table/point helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def customer_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("point_id")
+    )
+    return with_derived_position(df, "point_id")
+
+
+_PTS_CTE = (
+    "pts AS (SELECT CAST(c_custkey AS BIGINT) AS point_id, "
+    f"{derived_lon_sql('c_custkey')} AS lon, {derived_lat_sql('c_custkey')} AS lat "
+    "FROM customer)"
+)
+
+# lineitem chains: chain = order. The synthetic lineitem has duplicate
+# (l_orderkey, l_linenumber) pairs, so the vertex order key packs
+# (linenumber, partkey, suppkey) — unique per chain and identically
+# orderable in every engine. The vertex position derives from a
+# decorrelated per-row key.
+_SEQ = (
+    "(CAST(l_linenumber AS BIGINT) * 1000000000000 "
+    "+ CAST(l_partkey AS BIGINT) * 1000000 + l_suppkey)"
+)
+_VKEY = "(CAST(l_partkey AS BIGINT) * 10 + l_linenumber)"
+
+
+def lineitem_chain_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("bigint").alias("chain_id"),
+        F.expr(_SEQ).alias("seq"),
+        F.expr(_VKEY).alias("__vkey"),
+    )
+    return with_derived_position(df, "__vkey").drop("__vkey")
+
+
+_CHAIN_CTE = (
+    "pts AS (SELECT CAST(l_orderkey AS BIGINT) AS chain_id, "
+    f"{_SEQ} AS seq, "
+    f"{derived_lon_sql(_VKEY)} AS lon, {derived_lat_sql(_VKEY)} AS lat FROM lineitem)"
+)
+
+
+def _city_index() -> PolygonIndex:
+    return PolygonIndex(city_polygons())
+
+
+# SQL fragment: contained(point_id, city_id, area) — convex-edge bool_and
+# test + strict-inside hole subtraction, over a CTE `pts`.
+_CONTAINED_SQL = f"""
+edges(city_id, area, x1, y1, x2, y2) AS (VALUES
+    {edges_values_sql()}),
+hole(city_id, x1, y1, x2, y2) AS (VALUES
+    {hole_edges_values_sql()}),
+inside AS (
+  SELECT p.point_id, e.city_id, MIN(e.area) AS area
+  FROM pts p CROSS JOIN edges e
+  GROUP BY p.point_id, e.city_id, p.lon, p.lat
+  HAVING BOOL_AND((e.x2-e.x1)*(p.lat-e.y1) - (e.y2-e.y1)*(p.lon-e.x1) >= 0)
+),
+in_hole AS (
+  SELECT p.point_id, h.city_id
+  FROM pts p CROSS JOIN hole h
+  GROUP BY p.point_id, h.city_id, p.lon, p.lat
+  HAVING BOOL_AND((h.x2-h.x1)*(p.lat-h.y1) - (h.y2-h.y1)*(p.lon-h.x1) > 0)
+),
+contained AS (
+  SELECT i.point_id, i.city_id, i.area
+  FROM inside i LEFT JOIN in_hole h
+    ON i.point_id = h.point_id AND i.city_id = h.city_id
+  WHERE h.point_id IS NULL
+)"""
+
+
+# ---------------------------------------------------------------------------
+# J2: PIP city containment, smallest-area-wins
+# ---------------------------------------------------------------------------
+
+@register(
+    "pip_city",
+    oracle=f"""
+WITH {_PTS_CTE},
+{_CONTAINED_SQL},
+ranked AS (
+  SELECT point_id, city_id,
+         ROW_NUMBER() OVER (PARTITION BY point_id ORDER BY area, city_id) AS rn
+  FROM contained)
+SELECT point_id, city_id FROM ranked WHERE rn = 1
+""",
+)
+def pip_city(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — two-phase PIP join (cell broadcast + Arrow refine), hole
+    subtraction, canonical smallest-area overlap rule."""
+    pts = customer_points(spark, sf_dir)
+    return pip_join(pts, _city_index(), how="smallest", area_col="city_id").select(
+        "point_id", "city_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3: hierarchical address lookup (city → region → country)
+# ---------------------------------------------------------------------------
+
+def _rect_level_sql(polys, id_name: str) -> str:
+    """Rect containment per level as nested CASE (regions/countries are
+    rectangles; first match is the only match — they are disjoint)."""
+    cases = []
+    for p in polys:
+        ring = p["outer"]
+        x0, y0 = ring[0]
+        x1, y1 = ring[2]
+        cases.append(
+            f"WHEN p.lon >= {x0!r} AND p.lon <= {x1!r} AND "
+            f"p.lat >= {y0!r} AND p.lat <= {y1!r} THEN '{p['area_id']}'"
+        )
+    return "CASE " + " ".join(cases) + f" ELSE '-' END AS {id_name}"
+
+
+@register(
+    "pip_hierarchy",
+    oracle=f"""
+WITH {_PTS_CTE},
+{_CONTAINED_SQL},
+ranked AS (
+  SELECT point_id, city_id,
+         ROW_NUMBER() OVER (PARTITION BY point_id ORDER BY area, city_id) AS rn
+  FROM contained),
+city AS (SELECT point_id, city_id FROM ranked WHERE rn = 1)
+SELECT p.point_id,
+       COALESCE(c.city_id, '-') AS city_id,
+       {_rect_level_sql(REGIONS, "region_id")},
+       {_rect_level_sql(COUNTRIES, "country_id")}
+FROM pts p LEFT JOIN city c ON p.point_id = c.point_id
+""",
+)
+def pip_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — one broadcast PIP join per addressing level, merged by coalesce
+    (OsmAddress level-priority merge, lib/OsmAddress.pm:146-163)."""
+    pts = customer_points(spark, sf_dir)
+    city = pip_join(pts, _city_index(), how="smallest", area_col="city_id").select(
+        "point_id", "city_id"
+    )
+    region = pip_join(pts, PolygonIndex(region_polygons()), how="smallest",
+                      area_col="region_id").select("point_id", "region_id")
+    country = pip_join(pts, PolygonIndex(country_polygons()), how="smallest",
+                       area_col="country_id").select("point_id", "country_id")
+    return (
+        pts.select("point_id")
+        .join(city, "point_id", "left")
+        .join(region, "point_id", "left")
+        .join(country, "point_id", "left")
+        .fillna({"city_id": "-", "region_id": "-", "country_id": "-"})
+    )
+
+
+# ---------------------------------------------------------------------------
+# J15: kNN nearest-city fallback for points outside every city
+# ---------------------------------------------------------------------------
+
+@register(
+    "knn_city",
+    oracle=f"""
+WITH {_PTS_CTE},
+{_CONTAINED_SQL},
+centers(city_id, cx, cy) AS (VALUES
+    {centers_values_sql()}),
+outs AS (
+  SELECT p.* FROM pts p LEFT JOIN (SELECT DISTINCT point_id FROM contained) c
+    ON p.point_id = c.point_id WHERE c.point_id IS NULL),
+d AS (
+  SELECT o.point_id, c.city_id,
+         (o.lon-c.cx)*(o.lon-c.cx) + (o.lat-c.cy)*(o.lat-c.cy) AS d2
+  FROM outs o CROSS JOIN centers c),
+r AS (SELECT point_id, city_id, d2,
+             ROW_NUMBER() OVER (PARTITION BY point_id ORDER BY d2, city_id) AS rn
+      FROM d)
+SELECT point_id, city_id AS nearest_city_id, d2 AS dist_sq FROM r WHERE rn = 1
+""",
+)
+def knn_city(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J15 — containment anti-join, then broadcast 1-NN (min_by)."""
+    pts = customer_points(spark, sf_dir)
+    contained = pip_join(pts, _city_index(), how="all").select("point_id").distinct()
+    outs = pts.join(contained, "point_id", "left_anti")
+    anchors = [(c["area_id"], c["center"][0], c["center"][1]) for c in CITIES]
+    return knn_bruteforce(outs, anchors, out_id="nearest_city_id").select(
+        "point_id", "nearest_city_id", "dist_sq"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5: access-area mask OR
+# ---------------------------------------------------------------------------
+
+@register(
+    "access_flags",
+    oracle=f"""
+WITH {_PTS_CTE},
+areas(area_id, mask, x0, y0, x1, y1) AS (VALUES
+    {access_values_sql()}),
+hit AS (
+  SELECT p.point_id, BIT_OR(a.mask) AS m
+  FROM pts p JOIN areas a
+    ON p.lon >= a.x0 AND p.lon <= a.x1 AND p.lat >= a.y0 AND p.lat <= a.y1
+  GROUP BY p.point_id)
+SELECT p.point_id, CAST(COALESCE(h.m, 0) AS INT) AS access_mask
+FROM pts p LEFT JOIN hit h ON p.point_id = h.point_id
+""",
+)
+def access_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — flags of every containing restricted area OR-ed together
+    (TransportAccess.pm:108-117 semantics as a bitmask)."""
+    pts = customer_points(spark, sf_dir)
+    idx = PolygonIndex([Polygon(a["area_id"], [a["outer"]]) for a in ACCESS_AREAS])
+    masks = {a["area_id"]: a["mask"] for a in ACCESS_AREAS}
+    return pip_flags_or(pts, idx, masks).select("point_id", "access_mask")
+
+
+# ---------------------------------------------------------------------------
+# J13: tile assignment (fixed grid — SQL-checkable) + per-tile counts (A6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tile_counts",
+    oracle=f"""
+WITH pts AS (SELECT {derived_lon_sql(_VKEY)} AS lon, {derived_lat_sql(_VKEY)} AS lat
+             FROM lineitem)
+SELECT CAST({grid_tile_expr('lon', 'lat')} AS INT) AS tile_id,
+       CAST(COUNT(*) AS BIGINT) AS n_points
+FROM pts GROUP BY 1
+""",
+)
+def tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13 + A6 — grid tile id (whole-stage codegen) + per-tile counts."""
+    pts = lineitem_chain_points(spark, sf_dir)
+    return (
+        assign_tiles_grid(pts)
+        .groupBy("tile_id")
+        .agg(F.count("*").alias("n_points"))
+        .select(F.col("tile_id").cast("int"), "n_points")
+    )
+
+
+@register(
+    "tile_chain_closure",
+    oracle=f"""
+WITH {_CHAIN_CTE}
+SELECT DISTINCT chain_id,
+       CAST({grid_tile_expr('lon', 'lat')} AS INT) AS tile_id
+FROM pts
+""",
+)
+def tile_chain_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14 — chain joins every tile containing ≥1 of its vertices
+    (splitter.pl:362-381)."""
+    pts = assign_tiles_grid(lineitem_chain_points(spark, sf_dir))
+    return chain_tile_closure(pts).select(
+        "chain_id", F.col("tile_id").cast("int")
+    )
+
+
+# ---------------------------------------------------------------------------
+# G2/W4: chain clipping to the map boundary
+# ---------------------------------------------------------------------------
+
+_CLIP_BBOX = (BOUNDARY[0][0], BOUNDARY[0][1], BOUNDARY[2][0], BOUNDARY[2][1])
+
+
+@register(
+    "clip_chains",
+    oracle=clip_oracle_sql(_CHAIN_CTE, _CLIP_BBOX),
+)
+def clip_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 — keep-one-outside-vertex clipping via gaps-and-islands windows."""
+    pts = lineitem_chain_points(spark, sf_dir)
+    return clip_chains_to_bbox(pts, _CLIP_BBOX)
+
+
+# ---------------------------------------------------------------------------
+# A1 / A4: node degree + density histogram
+# ---------------------------------------------------------------------------
+
+@register(
+    "node_degree",
+    oracle="""
+SELECT CAST(l_partkey AS BIGINT) AS node_id,
+       CAST(COUNT(*) AS BIGINT) AS degree,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_chains
+FROM lineitem GROUP BY 1
+""",
+)
+def node_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A3 — shared-node degree over all chains (%rnode semantics)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_partkey").cast("bigint").alias("node_id")).agg(
+        F.count("*").alias("degree"),
+        F.countDistinct("l_orderkey").alias("n_chains"),
+    )
+
+
+@register(
+    "density_histogram",
+    oracle=f"""
+WITH pts AS (SELECT {derived_lon_sql('c_custkey')} AS lon,
+                    {derived_lat_sql('c_custkey')} AS lat FROM customer)
+SELECT CAST(FLOOR(lon * 25.0) AS BIGINT) AS cell_x,
+       CAST(FLOOR(lat * 50.0) AS BIGINT) AS cell_y,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM pts GROUP BY 1, 2
+""",
+)
+def density_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — the splitter's 0.02°×0.04° skew-detector histogram
+    (floor(lat*50) ≡ floor(lat/0.02) in exact arithmetic)."""
+    pts = customer_points(spark, sf_dir)
+    return pts.groupBy(
+        F.expr("CAST(FLOOR(lon * 25.0) AS BIGINT)").alias("cell_x"),
+        F.expr("CAST(FLOOR(lat * 50.0) AS BIGINT)").alias("cell_y"),
+    ).agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# W5: deterministic sequential numbering of routing nodes
+# ---------------------------------------------------------------------------
+
+@register(
+    "node_numbering",
+    oracle="""
+WITH deg AS (
+  SELECT CAST(l_partkey AS BIGINT) AS node_id, COUNT(DISTINCT l_orderkey) AS nch
+  FROM lineitem GROUP BY 1)
+SELECT node_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY node_id) AS BIGINT) AS nod_id
+FROM deg WHERE nch > 1
+""",
+)
+def node_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5/A2 — routing nodes (shared by >1 chain) numbered densely in
+    natural-key order (the deterministic replacement for $nodcount++,
+    osm2mp.pl:678-687)."""
+    li = _t(spark, sf_dir, "lineitem")
+    deg = li.groupBy(F.col("l_partkey").cast("bigint").alias("node_id")).agg(
+        F.countDistinct("l_orderkey").alias("nch")
+    )
+    w = Window.orderBy("node_id")
+    return (
+        deg.filter("nch > 1")
+        .withColumn("nod_id", F.row_number().over(w).cast("bigint"))
+        .select("node_id", "nod_id")
+    )

@@ -1,0 +1,120 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs each __spark_entry__.queries() entry at sf0.01 on Spark AND its
+oracle_sql() on DuckDB, then compares row count, schema (column names), and
+exact values (rows sorted by all columns, columns sorted by name).
+
+Usage: PYTHONPATH=/root/repo python tools/check_correctness.py [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entry
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def duck_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    issues = []
+    if sorted(sdf.columns) != sorted(odf.columns):
+        issues.append(f"schema: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+        return issues
+    if len(sdf) != len(odf):
+        issues.append(f"rowcount: spark={len(sdf)} oracle={len(odf)}")
+    a, b = canon(sdf), canon(odf)
+    if len(a) == len(b):
+        for c in a.columns:
+            av, bv = a[c].to_numpy(), b[c].to_numpy()
+            if av.dtype.kind == "f" or bv.dtype.kind == "f":
+                neq = ~((av == bv) | (pd.isna(av) & pd.isna(bv)))
+            else:
+                neq = av != bv
+            n_bad = int(np.sum(neq))
+            if n_bad:
+                i = int(np.argmax(neq))
+                issues.append(
+                    f"col {c}: {n_bad} mismatches, first at row {i}: "
+                    f"spark={av[i]!r} oracle={bv[i]!r}"
+                )
+    return issues
+
+
+def main():
+    only = set(sys.argv[1:])
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("check_correctness")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duck_con()
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception as e:
+            failed.append(name)
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            continue
+        if name not in oracles:
+            print(f"ok?  {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s) — no oracle")
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as e:
+            failed.append(name)
+            print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
+            continue
+        issues = compare(name, sdf, odf)
+        if issues:
+            failed.append(name)
+            print(f"FAIL {name} ({len(sdf)} spark rows / {len(odf)} oracle rows):")
+            for i in issues[:5]:
+                print(f"     {i}")
+        else:
+            print(f"PASS {name}: {len(sdf)} rows match exactly ({time.time()-t0:.1f}s)")
+    print(f"\n{'ALL PASS' if not failed else 'FAILURES: ' + ', '.join(failed)}")
+    spark.stop()
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
