@@ -1,0 +1,145 @@
+"""Chain/graph operators that need per-chain state or fixpoint iteration:
+W1 self-intersection splitting and I1 road merging.
+
+W1 runs as applyInPandas per chain (chains are ≤ a few hundred vertices —
+the per-group Python cost is trivial, the parallelism is across millions of
+chains). I1 is a driver-coordinated DataFrame fixpoint: the mergeable-
+successor relation is a functional graph (each road keeps at most one best
+successor, each road is claimed by at most one predecessor), so chain
+assembly converges in O(log max-chain-length) pointer-doubling rounds of
+self-joins (SURVEY §2.8 I1).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..oracle.reference import self_intersection_splits_oracle
+
+
+def split_self_intersections(
+    pts: DataFrame,
+    chain_col: str = "chain_id",
+    seq_col: str = "seq",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """W1 (osm2mp.pl:725-743): split a chain whenever a vertex repeats an
+    earlier vertex since the last break. Output adds part_no per row."""
+    schema = f"{chain_col} bigint, part_no int, {seq_col} bigint, {lon} double, {lat} double"
+
+    def split(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(seq_col)
+        coords = list(zip(pdf[lon], pdf[lat]))
+        starts = self_intersection_splits_oracle(coords)
+        part = []
+        p = 0
+        k = 0
+        for i in range(len(coords)):
+            if k < len(starts) and i == starts[k]:
+                p += 1
+                k += 1
+            part.append(p)
+        out = pd.DataFrame(
+            {
+                chain_col: pdf[chain_col].to_numpy(),
+                "part_no": part,
+                seq_col: pdf[seq_col].to_numpy(),
+                lon: pdf[lon].to_numpy(),
+                lat: pdf[lat].to_numpy(),
+            }
+        )
+        return out
+
+    return pts.groupBy(chain_col).applyInPandas(split, schema=schema)
+
+
+def merge_roads(
+    roads: DataFrame,
+    merge_cos: float = 0.2,
+    max_rounds: int = 16,
+) -> DataFrame:
+    """I1 (osm2mp.pl:596-661): merge mergeable road chains to fixpoint.
+
+    Input: (road_id bigint, attrs string, chain array<struct<lon,lat>>).
+    Output: (road_id, head_id) — every road labeled with the head of its
+    merged chain; the merged geometry is then a groupBy(head_id) concat.
+
+    Plan shape: one self-join builds candidate junction edges; two window
+    top-1 passes make the relation functional both ways (best successor per
+    road, best predecessor per successor — ties by cosine then id, the
+    canonical determinism rule); pointer doubling then label-propagates the
+    head id in O(log n) shuffle rounds instead of O(n) sequential steps.
+    """
+    r = roads.select(
+        "road_id",
+        "attrs",
+        F.element_at("chain", 1).alias("p_first"),
+        F.element_at("chain", 2).alias("p_second"),
+        F.element_at("chain", -1).alias("p_last"),
+        F.element_at("chain", -2).alias("p_penult"),
+        F.size("chain").alias("n"),
+    ).filter(F.col("n") >= 2)
+
+    a = r.alias("a")
+    b = r.alias("b")
+    # candidate edges: a.last == b.first, same attrs
+    cand = a.join(
+        b,
+        (F.col("a.p_last.lon") == F.col("b.p_first.lon"))
+        & (F.col("a.p_last.lat") == F.col("b.p_first.lat"))
+        & (F.col("a.attrs") == F.col("b.attrs"))
+        & (F.col("a.road_id") != F.col("b.road_id")),
+    ).select(
+        F.col("a.road_id").alias("pred"),
+        F.col("b.road_id").alias("succ"),
+        F.col("a.p_penult").alias("q0"),
+        F.col("a.p_last").alias("q1"),
+        F.col("b.p_second").alias("q2"),
+    )
+    # junction angle cosine, lat-corrected (osm2mp.pl:1179-1193)
+    clat = F.expr("cos(radians(q1.lat))")
+    ax = (F.col("q1.lon") - F.col("q0.lon")) * clat
+    ay = F.col("q1.lat") - F.col("q0.lat")
+    bx = (F.col("q2.lon") - F.col("q1.lon")) * clat
+    by = F.col("q2.lat") - F.col("q1.lat")
+    cosv = (ax * bx + ay * by) / (
+        F.sqrt(ax * ax + ay * ay) * F.sqrt(bx * bx + by * by)
+    )
+    edges = cand.withColumn("cosv", cosv).filter(F.col("cosv") > merge_cos)
+
+    # functionalize: best successor per pred, then best pred per succ
+    w1 = Window.partitionBy("pred").orderBy(F.col("cosv").desc(), F.col("succ"))
+    best_succ = edges.withColumn("rn", F.row_number().over(w1)).filter("rn = 1")
+    w2 = Window.partitionBy("succ").orderBy(F.col("cosv").desc(), F.col("pred"))
+    func = (
+        best_succ.withColumn("rn2", F.row_number().over(w2))
+        .filter("rn2 = 1")
+        .select("pred", "succ")
+    )
+
+    # pointer doubling: parent(road) = predecessor, head = fixpoint parent
+    labels = (
+        roads.select("road_id")
+        .join(func.withColumnRenamed("succ", "road_id"), "road_id", "left")
+        .select("road_id", F.coalesce("pred", "road_id").alias("head"))
+    )
+    for _ in range(max_rounds):
+        l2 = labels.select(
+            F.col("road_id").alias("h_road"), F.col("head").alias("h_head")
+        )
+        new = labels.join(
+            l2, F.col("head") == F.col("h_road"), "left"
+        ).select("road_id", F.coalesce("h_head", "head").alias("head"))
+        new = new.localCheckpoint(eager=True)
+        n_changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "road_id")
+            .filter(F.col("n.head") != F.col("o.head"))
+            .count()
+        )
+        labels = new
+        if n_changed == 0:
+            break
+    return labels.withColumnRenamed("head", "head_id")

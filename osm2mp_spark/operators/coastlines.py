@@ -1,0 +1,187 @@
+"""G10-G12: coastline stitching, sea polygon synthesis, lake/island nesting.
+
+Boundary geometry is dimension-scale (the collected coastline set for one
+map/tile is small), so per the SURVEY plan (§2.3 G11) this runs driver-side
+over collected chains; the Spark surface is `synthesize_water(spark_df,
+boundary)`, which collects, runs the kernel, and returns a DataFrame of
+water polygons. The at-scale path runs it per tile inside applyInPandas
+(each tile's coastline set is small by construction).
+
+Semantics re-expressed from the survey description of lib/Coastlines.pm:
+  - stitch chains end-to-start to fixpoint (:50-99; dict-keyed-by-first-point
+    walk → our deterministic sorted-seed variant, oracle.reference)
+  - open chains crossing a RECTANGULAR boundary are closed by walking the
+    boundary perimeter clockwise from each chain's end to the next chain's
+    start (water lies right of travel; :101-196). Crossing points are exact
+    segment×rect-edge intersections; events are ordered by perimeter
+    position (:158-168).
+  - closed rings: CW → lake, CCW → island; islands nest into the first
+    containing lake by descending-vertex-count order (:198-241).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..geometry.kernels import points_in_ring, segment_intersection
+from ..oracle.reference import classify_lakes_islands_oracle, stitch_coastlines_oracle
+
+
+def _perimeter_pos(p, bbox) -> float:
+    """Position of a boundary point along the rect perimeter, clockwise from
+    (minlon, maxlat) [NW corner]: top → right → bottom → left."""
+    minlon, minlat, maxlon, maxlat = bbox
+    x, y = p
+    w = maxlon - minlon
+    h = maxlat - minlat
+    eps = 1e-9
+    if abs(y - maxlat) < eps:
+        return x - minlon
+    if abs(x - maxlon) < eps:
+        return w + (maxlat - y)
+    if abs(y - minlat) < eps:
+        return w + h + (maxlon - x)
+    if abs(x - minlon) < eps:
+        return w + h + w + (y - minlat)
+    raise ValueError(f"point {p} not on boundary {bbox}")
+
+
+def _walk_perimeter(t0: float, t1: float, bbox) -> list[tuple[float, float]]:
+    """Corner points passed when walking clockwise from perimeter position
+    t0 to t1 (exclusive of endpoints)."""
+    minlon, minlat, maxlon, maxlat = bbox
+    w = maxlon - minlon
+    h = maxlat - minlat
+    total = 2 * (w + h)
+    corners = [
+        (w, (maxlon, maxlat)),
+        (w + h, (maxlon, minlat)),
+        (w + h + w, (minlon, minlat)),
+        (total, (minlon, maxlat)),
+    ]
+    out = []
+    t = t0
+    if t1 <= t0:
+        t1 += total
+    for lap in (0, total):
+        for ct, cp in corners:
+            ctt = ct + lap
+            if t0 < ctt < t1:
+                out.append(cp)
+    return out
+
+
+def _clip_open_chain(chain, bbox):
+    """Clip an open chain to the rect, returning inside runs whose first/last
+    points are EXACT boundary crossings (or original endpoints if inside)."""
+    minlon, minlat, maxlon, maxlat = bbox
+    rect = [
+        (minlon, minlat), (maxlon, minlat), (maxlon, maxlat), (minlon, maxlat),
+        (minlon, minlat),
+    ]
+    pts = [tuple(p) for p in chain]
+    xs = np.array([p[0] for p in pts])
+    ys = np.array([p[1] for p in pts])
+    inside = (xs >= minlon) & (xs <= maxlon) & (ys >= minlat) & (ys <= maxlat)
+    runs = []
+    cur: list[tuple[float, float]] = []
+    for i in range(len(pts)):
+        if inside[i]:
+            if not cur and i > 0:
+                # entering: add crossing point on segment (i-1, i)
+                cr = _rect_crossing(pts[i - 1], pts[i], rect)
+                if cr is not None and cr != pts[i]:
+                    cur.append(cr)
+            cur.append(pts[i])
+        else:
+            if cur:
+                cr = _rect_crossing(pts[i], pts[i - 1], rect)  # exiting
+                if cr is not None and cr != cur[-1]:
+                    cur.append(cr)
+                runs.append(cur)
+                cur = []
+            elif i > 0 and not inside[i - 1]:
+                # pure transit: both endpoints outside, segment may still
+                # cross the rect — emit the (entry, exit) crossing pair
+                entry = _rect_crossing(pts[i - 1], pts[i], rect)
+                exit_ = _rect_crossing(pts[i], pts[i - 1], rect)
+                if entry is not None and exit_ is not None and entry != exit_:
+                    runs.append([entry, exit_])
+    if cur:
+        runs.append(cur)
+    return runs
+
+
+def _rect_crossing(p_out, p_in, rect):
+    """Intersection of segment (p_out → p_in) with the rect edges, nearest
+    to p_out."""
+    best = None
+    best_t = None
+    for e0, e1 in zip(rect[:-1], rect[1:]):
+        hit = segment_intersection(p_out, p_in, e0, e1)
+        if hit is None:
+            # also try the closed variant at segment end
+            hit = segment_intersection(p_out, (p_in[0] + (p_in[0] - p_out[0]) * 1e-12,
+                                               p_in[1] + (p_in[1] - p_out[1]) * 1e-12),
+                                       e0, e1)
+        if hit is not None:
+            t = max(abs(hit[0] - p_out[0]), abs(hit[1] - p_out[1]))
+            if best is None or t < best_t:
+                best, best_t = hit, t
+    return best
+
+
+def synthesize_water(chains: dict[str, list], bbox) -> dict:
+    """Full G10-G12 kernel over raw coastline chains.
+
+    Returns {"seas": [ring...], "lakes": [{"ring", "islands"}...],
+    "free_islands": [...]}, rings closed, deterministic order."""
+    merged = stitch_coastlines_oracle(chains)
+    closed = [ch for ch in merged if ch[0] == ch[-1]]
+    open_chains = [ch for ch in merged if ch[0] != ch[-1]]
+
+    # clip open chains to the boundary; collect runs with boundary endpoints
+    runs = []
+    for ch in open_chains:
+        runs.extend(r for r in _clip_open_chain(ch, bbox) if len(r) >= 2)
+
+    seas = []
+    if runs:
+        # event list: (perimeter pos of run END, run index) — from a run's
+        # end we walk clockwise to the nearest run START
+        starts = sorted(
+            ((_perimeter_pos(r[0], bbox), i) for i, r in enumerate(runs)),
+        )
+        used = [False] * len(runs)
+        for i0 in range(len(runs)):
+            if used[i0]:
+                continue
+            ring = list(runs[i0])
+            used[i0] = True
+            while True:
+                t_end = _perimeter_pos(ring[-1], bbox)
+                # next start strictly after t_end (wrapping), not used —
+                # or the ring's own start to close
+                t_close = _perimeter_pos(ring[0], bbox)
+                best = None
+                for ts, j in starts:
+                    if used[j]:
+                        continue
+                    d = (ts - t_end) % (2 * ((bbox[2] - bbox[0]) + (bbox[3] - bbox[1])))
+                    if best is None or d < best[0]:
+                        best = (d, ts, j)
+                d_close = (t_close - t_end) % (
+                    2 * ((bbox[2] - bbox[0]) + (bbox[3] - bbox[1]))
+                )
+                if best is None or d_close <= best[0]:
+                    ring.extend(_walk_perimeter(t_end, t_close, bbox))
+                    ring.append(ring[0])
+                    seas.append(ring)
+                    break
+                _, ts, j = best
+                ring.extend(_walk_perimeter(t_end, ts, bbox))
+                ring.extend(runs[j])
+                used[j] = True
+
+    nest = classify_lakes_islands_oracle(closed)
+    return {"seas": seas, "lakes": nest["lakes"], "free_islands": nest["free_islands"]}

@@ -1,0 +1,53 @@
+"""G1: multipolygon ring assembly on Spark.
+
+Relations are dimension-scale (millions at planet scale, but each with a
+handful of member ways), so the Spark shape is groupBy(rel_id) +
+applyInPandas: each group stitches its member chains with the same
+pure-Python kernel the oracle uses — per-group data is tiny, the fan-out
+across relations is where Spark parallelism pays. Broken relations are
+dropped (lib/OSM.pm:186 semantics).
+
+Input schema:  (rel_id string, way_id string, role string, seq int,
+                chain array<struct<lon:double, lat:double>>)
+Output schema: (rel_id string, ring_no int, is_inner boolean,
+                pts array<struct<lon:double, lat:double>>)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..oracle.reference import stitch_rings_oracle
+
+RING_SCHEMA = (
+    "rel_id string, ring_no int, is_inner boolean, "
+    "pts array<struct<lon:double, lat:double>>"
+)
+
+
+def assemble_rings(members: DataFrame) -> DataFrame:
+    """Stitch member ways into closed outer/inner rings per relation."""
+
+    def stitch(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("seq")
+        mems = [
+            (row.role, [(p["lon"], p["lat"]) for p in row.chain])
+            for row in pdf.itertuples()
+        ]
+        res = stitch_rings_oracle(mems)
+        rows = []
+        if res is not None:
+            rel = pdf["rel_id"].iloc[0]
+            n = 0
+            for ring in res["outers"]:
+                rows.append(
+                    (rel, n, False, [{"lon": x, "lat": y} for x, y in ring])
+                )
+                n += 1
+            for ring in res["inners"]:
+                rows.append((rel, n, True, [{"lon": x, "lat": y} for x, y in ring]))
+                n += 1
+        return pd.DataFrame(rows, columns=["rel_id", "ring_no", "is_inner", "pts"])
+
+    return members.groupBy("rel_id").applyInPandas(stitch, schema=RING_SCHEMA)

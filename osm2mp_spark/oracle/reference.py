@@ -1,0 +1,203 @@
+"""Single-node pure-Python oracle of the reference semantics (SURVEY §5).
+
+The reference ships zero tests; these functions ARE the golden net. Each
+implements, straight from the survey's semantic description (citations into
+/root/reference for parity only — no code is derived from it), the canonical
+deterministic variant of an operator the Spark engine must match:
+
+- stitch_rings_oracle            G1  multipolygon assembly (lib/OSM.pm:133-194)
+- self_intersection_splits_oracle W1 chain self-intersection (osm2mp.pl:725-743)
+- merge_roads_oracle             I1  road merging fixpoint (osm2mp.pl:596-661)
+- stitch_coastlines_oracle       G10 coastline stitching (lib/Coastlines.pm:50-99)
+- classify_lakes_islands_oracle  G12 lake/island nesting (lib/Coastlines.pm:198-241)
+
+Canonical determinism rules (FIXTURES.md): where the reference iterates Perl
+hashes in arbitrary order, we process candidates in sorted natural-key order.
+"""
+
+from __future__ import annotations
+
+from ..geometry.kernels import is_clockwise, lcos, points_in_ring
+
+
+def stitch_rings_oracle(members: list[tuple[str, list]]) -> dict | None:
+    """Assemble closed rings from (role, chain) members.
+
+    Semantics (lib/OSM.pm:133-194): chains whose endpoints match are joined
+    end-to-start, accepting reversed chains; a member set that cannot be
+    closed into rings marks the whole multipolygon broken → None.
+    Roles: outer/exclave → outer rings; inner/enclave → inner rings.
+    Deterministic: chains are consumed in input order; when extending a ring,
+    the first matching chain in input order wins, preferring non-reversed.
+
+    Returns {"outers": [ring, ...], "inners": [ring, ...]} with closed rings
+    (first point == last point), or None if any chain set is broken.
+    """
+    out: dict = {"outers": [], "inners": []}
+    for role_kind, key in (("outer", "outers"), ("inner", "inners")):
+        chains = [
+            list(map(tuple, ch))
+            for role, ch in members
+            if role in (role_kind, "exclave" if role_kind == "outer" else "enclave")
+        ]
+        used = [False] * len(chains)
+        for i in range(len(chains)):
+            if used[i]:
+                continue
+            used[i] = True
+            ring = list(chains[i])
+            # extend until closed or stuck
+            while ring[0] != ring[-1]:
+                found = False
+                for j in range(len(chains)):
+                    if used[j]:
+                        continue
+                    cj = chains[j]
+                    if cj[0] == ring[-1]:
+                        ring.extend(cj[1:])
+                        used[j] = True
+                        found = True
+                        break
+                    if cj[-1] == ring[-1]:
+                        ring.extend(list(reversed(cj))[1:])
+                        used[j] = True
+                        found = True
+                        break
+                if not found:
+                    return None  # broken multipolygon → skip (OSM.pm:186)
+            if len(ring) < 4:
+                return None  # degenerate ring
+            out[key].append(ring)
+    return out
+
+
+def self_intersection_splits_oracle(pts: list[tuple]) -> list[int]:
+    """Indices at which a chain must be split because a vertex repeats an
+    earlier vertex since the last break (osm2mp.pl:725-743). Canonical rule
+    (FIXTURES.md): on a repeat at index i of vertex seen at j >= break_start:
+    split AT i (new part starts at i); if the repeat is immediate (j == i-1),
+    split BETWEEN them (new part starts at i, previous part ends at i-1 —
+    same index, so the split list is identical; the difference is only that
+    the shared vertex is not duplicated into both parts).
+
+    Returns the list of part-start indices (excluding 0).
+    """
+    splits: list[int] = []
+    seen: dict[tuple, int] = {}
+    start = 0
+    i = 0
+    while i < len(pts):
+        p = tuple(pts[i])
+        if p in seen and seen[p] >= start:
+            splits.append(i)
+            start = i
+            seen = {p: i}
+        else:
+            seen[p] = i
+        i += 1
+    return splits
+
+
+def merge_roads_oracle(
+    roads: dict[str, dict], merge_cos: float = 0.2
+) -> dict[str, list[str]]:
+    """Road merging to fixpoint (osm2mp.pl:596-661).
+
+    roads: {road_id: {"chain": [(lon,lat), ...], "attrs": hashable}}.
+    A road A merges with B when attrs equal, A.chain[-1] == B.chain[0],
+    and the turn angle cosine at the junction exceeds merge_cos
+    (lcos(A[-2], A[-1], B[1]) > merge_cos). Canonical determinism: among
+    candidates the best cosine wins, ties by road_id; each road may be
+    consumed by at most one predecessor (best predecessor wins by the same
+    rule); chains are then concatenated to fixpoint.
+
+    Returns {head_road_id: [road ids merged, in order]}.
+    """
+    succ: dict[str, str] = {}
+    claimed: dict[str, tuple] = {}  # road -> (cos, pred) best predecessor
+    ids = sorted(roads)
+    for a in ids:
+        ra = roads[a]
+        best: tuple | None = None
+        for b in ids:
+            if b == a:
+                continue
+            rb = roads[b]
+            if ra["attrs"] != rb["attrs"]:
+                continue
+            if tuple(ra["chain"][-1]) != tuple(rb["chain"][0]):
+                continue
+            if len(ra["chain"]) < 2 or len(rb["chain"]) < 2:
+                continue
+            c = lcos(ra["chain"][-2], ra["chain"][-1], rb["chain"][1])
+            if c <= merge_cos:
+                continue
+            if best is None or (-c, b) < (-best[0], best[1]):
+                best = (c, b)
+        if best is None:
+            continue
+        c, b = best
+        # predecessor contention: best cosine, then smallest pred id
+        if b not in claimed or (-c, a) < (-claimed[b][0], claimed[b][1]):
+            if b in claimed:
+                succ.pop(claimed[b][1], None)
+            claimed[b] = (c, a)
+            succ[a] = b
+    # assemble chains: heads are roads that are nobody's successor
+    heads = [r for r in ids if r not in claimed]
+    out: dict[str, list[str]] = {}
+    for h in heads:
+        seq = [h]
+        cur = h
+        while cur in succ:
+            cur = succ[cur]
+            seq.append(cur)
+        out[h] = seq
+    return out
+
+
+def stitch_coastlines_oracle(chains: dict[str, list]) -> list[list]:
+    """Coastline stitching (lib/Coastlines.pm:50-99): chains keyed by first
+    point; repeatedly append the chain whose first point equals the current
+    chain's last point, until no progress. Deterministic: process seed chains
+    in sorted key order. Returns the list of merged chains (closed ones are
+    rings)."""
+    by_first: dict[tuple, list] = {}
+    for k in sorted(chains):
+        ch = [tuple(p) for p in chains[k]]
+        if ch[0] in by_first:
+            continue  # duplicate start point — reference carps and skips (:56-59)
+        by_first[ch[0]] = ch
+    merged: list[list] = []
+    while by_first:
+        first = sorted(by_first)[0]
+        ch = by_first.pop(first)
+        while ch[0] != ch[-1] and ch[-1] in by_first:
+            nxt = by_first.pop(ch[-1])
+            ch = ch + nxt[1:]
+        merged.append(ch)
+    return merged
+
+
+def classify_lakes_islands_oracle(rings: list[list]) -> dict:
+    """G12 (lib/Coastlines.pm:198-241): closed coastline rings — CW = lake
+    (water right of travel), CCW = island; an island whose first point is
+    inside a lake becomes that lake's hole. Lakes considered in descending
+    vertex count (:219). Returns {"lakes": [{"ring":…, "islands":[…]}],
+    "free_islands": [...]}.
+    """
+    lakes = [r for r in rings if is_clockwise(r)]
+    islands = [r for r in rings if not is_clockwise(r)]
+    lakes.sort(key=len, reverse=True)
+    out = {"lakes": [{"ring": r, "islands": []} for r in lakes], "free_islands": []}
+    for isl in islands:
+        placed = False
+        for lk in out["lakes"]:
+            px, py = isl[0]
+            if points_in_ring([px], [py], lk["ring"])[0] >= 0:
+                lk["islands"].append(isl)
+                placed = True
+                break
+        if not placed:
+            out["free_islands"].append(isl)
+    return out

@@ -32,3 +32,4 @@ def load_all() -> None:
     from . import text  # noqa: F401
     from . import similarity  # noqa: F401
     from . import rules  # noqa: F401
+    from . import geometry  # noqa: F401

@@ -1,1 +1,282 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication operators over `documents` — the large-scale training-data
+pipeline family: exact hash dedup, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Cross-engine exactness design: all hashes are md5 hex strings (identical in
+Spark and DuckDB), minhash signatures are lexicographic MINs of md5 strings,
+simhash bits come from integer hex-digit decomposition, and Jaccard ratios
+are exact-integer divisions — so the driver's value-hash gate can compare
+bit-for-bit.
+
+At 100 TB scale the shapes hold: shingling is a generator-style explode
+(no driver state), signatures are map-side-combinable min aggregations,
+LSH banding turns all-pairs similarity into an equi-join on band keys, and
+the final pair table is orders of magnitude smaller than the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup: md5(text) clusters
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle="""
+WITH h AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
+cl AS (SELECT text_hash, COUNT(*) AS n, MIN(doc_id) AS keeper FROM h GROUP BY 1)
+SELECT CAST(h.doc_id AS BIGINT) AS doc_id, h.text_hash,
+       CAST(cl.n AS BIGINT) AS cluster_size,
+       (h.doc_id = cl.keeper) AS keep
+FROM h JOIN cl ON h.text_hash = cl.text_hash
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup — hash-groupBy clusters; per-doc keep/drop decision
+    (keep = smallest doc_id of the cluster)."""
+    d = _docs(spark, sf_dir)
+    h = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.md5(F.col("text").cast("binary")).alias("text_hash"),
+    )
+    cl = h.groupBy("text_hash").agg(
+        F.count("*").alias("cluster_size"), F.min("doc_id").alias("keeper")
+    )
+    return h.join(cl, "text_hash").select(
+        "doc_id",
+        "text_hash",
+        F.col("cluster_size").cast("bigint"),
+        (F.col("doc_id") == F.col("keeper")).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH: 3-word shingles → 6 minhash signatures → 3 bands of 2 →
+# band-bucket join → candidate pairs
+# ---------------------------------------------------------------------------
+
+_N_HASH = 6
+_BANDS = 3  # 2 signatures per band
+
+_SHINGLE_CTE = """
+toks AS (
+  SELECT doc_id,
+         UNNEST(string_split(text, ' ')) AS w,
+         UNNEST(range(1, LEN(string_split(text, ' ')) + 1)) AS pos
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         w || ' ' || LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos)
+           || ' ' || LEAD(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle
+  FROM toks
+  QUALIFY LEAD(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL)
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {_SHINGLE_CTE},
+seeds AS (SELECT UNNEST(generate_series(0, {_N_HASH - 1})) AS seed),
+sig AS (
+  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+  FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+bands AS (
+  SELECT doc_id, CAST(seed // 2 AS INT) AS band_no,
+         md5(STRING_AGG(mh, '|' ORDER BY seed)) AS band_key
+  FROM sig GROUP BY doc_id, seed // 2)
+SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a,
+                CAST(b.doc_id AS BIGINT) AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_no = b.band_no AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: shingle→minhash→band→bucket-join.
+    Signatures are min-of-md5-string (engine-portable); banding makes the
+    similarity join an equi-join (the at-scale shape)."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        toks.withColumn("w1", F.lead("w").over(wdoc))
+        .withColumn("w2", F.lead("w", 2).over(wdoc))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w", "w1", "w2").alias("shingle"))
+    )
+    seeds = d.sparkSession.range(_N_HASH).select(F.col("id").cast("int").alias("seed"))
+    sig = (
+        sh.crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(
+            F.min(
+                F.md5(
+                    F.concat(
+                        F.col("seed").cast("string"), F.lit("|"), F.col("shingle")
+                    ).cast("binary")
+                )
+            ).alias("mh")
+        )
+    )
+    # collect_list order is nondeterministic — build the band key from the
+    # sorted (seed, mh) array so it is deterministic at any parallelism
+    bands = (
+        sig.withColumn("band_no", F.expr("CAST(seed DIV 2 AS INT)"))
+        .groupBy("doc_id", "band_no")
+        .agg(F.sort_array(F.collect_list(F.struct("seed", "mh"))).alias("sm"))
+        .select(
+            "doc_id",
+            "band_no",
+            F.md5(
+                F.array_join(F.transform("sm", lambda s: s["mh"]), "|").cast("binary")
+            ).alias("band_key"),
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").cast("bigint").alias("doc_a"),
+            F.col("b.doc_id").cast("bigint").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (32-bit) + near-dup pairs by hamming distance
+# ---------------------------------------------------------------------------
+
+_HEXPOS_CTE = """
+hexpos AS (SELECT UNNEST(generate_series(1, 8)) AS p)
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, t.w
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(w)),
+{_HEXPOS_CTE},
+digits AS (
+  SELECT doc_id, p,
+         STRPOS('0123456789abcdef', SUBSTR(md5(w), p, 1)) - 1 AS v
+  FROM toks CROSS JOIN hexpos),
+bits AS (
+  SELECT doc_id, (p - 1) * 4 + k AS bit_no,
+         CASE WHEN ((v >> (3 - k)) & 1) = 1 THEN 1 ELSE -1 END AS s
+  FROM digits, UNNEST(generate_series(0, 3)) AS g(k)),
+votes AS (
+  SELECT doc_id, bit_no, SUM(s) AS vote FROM bits GROUP BY doc_id, bit_no)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(SUM(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << (31 - bit_no) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: per-token md5 → 32 bit votes → majority sign per bit.
+    Pure integer hex-digit decomposition — portable and shuffle-light
+    (one groupBy per doc)."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    hexpos = d.sparkSession.range(1, 9).select(F.col("id").cast("int").alias("p"))
+    ks = d.sparkSession.range(0, 4).select(F.col("id").cast("int").alias("k"))
+    digits = toks.crossJoin(F.broadcast(hexpos)).select(
+        "doc_id",
+        "p",
+        F.expr(
+            "instr('0123456789abcdef', substr(md5(cast(w AS binary)), p, 1)) - 1"
+        ).alias("v"),
+    )
+    bits = digits.crossJoin(F.broadcast(ks)).select(
+        "doc_id",
+        ((F.col("p") - 1) * 4 + F.col("k")).alias("bit_no"),
+        F.when(
+            F.expr("((v >> (3 - k)) & 1) = 1"), F.lit(1)
+        ).otherwise(F.lit(-1)).alias("s"),
+    )
+    votes = bits.groupBy("doc_id", "bit_no").agg(F.sum("s").alias("vote"))
+    return (
+        votes.groupBy(F.col("doc_id").cast("bigint").alias("doc_id"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("vote") > 0, F.expr("CAST(1 AS BIGINT) << (31 - bit_no)")
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("simhash")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard similarity on candidate pairs sharing ≥1 shingle
+# ---------------------------------------------------------------------------
+
+@register(
+    "ngram_jaccard",
+    oracle=f"""
+WITH {_SHINGLE_CTE},
+ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+FROM common JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.2
+""",
+)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup scoring: distinct-shingle inverted index →
+    pair intersection counts → exact-ratio threshold. The shingle equi-join
+    is the scale path (no all-pairs scan)."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    ds = (
+        toks.withColumn("w1", F.lead("w").over(wdoc))
+        .withColumn("w2", F.lead("w", 2).over(wdoc))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w", "w1", "w2").alias("shingle"))
+        .distinct()
+    )
+    sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = ds.alias("a")
+    b = ds.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    jac = (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("jaccard", F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")))
+        .filter(F.col("jaccard") >= 0.2)
+    )
+    return jac.select(
+        F.col("doc_a").cast("bigint"), F.col("doc_b").cast("bigint"), "jaccard"
+    )

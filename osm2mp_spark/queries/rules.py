@@ -1,1 +1,129 @@
-"""Placeholder — populated in a later milestone."""
+"""Rule-engine + string-kernel queries (SURVEY §2.2 F1-F11) over `documents`.
+
+The documents table stands in for tagged OSM objects: its columns
+(lang, source, text, n_chars) play the tag roles the YAML feature config
+matches on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.rules import (
+    Rule,
+    RuleSet,
+    Threshold,
+    cond_and,
+    cond_eq,
+    cond_ne,
+    cond_or,
+    cond_regex,
+)
+from . import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# the demo feature config: ordered rules, one overridden by id (F1)
+_SIZE = Threshold("n_chars", ((400, "large"), (200, "mid")), "small")
+
+_RULES = RuleSet(
+    [
+        Rule("r_en_spark", cond_and(cond_eq("lang", "en"), cond_regex("text", "spark")),
+             {"obj_type": "poi", "size": _SIZE}),
+        Rule("r_not_src0", cond_ne("source", "src0"), {"obj_type": "line"}),
+        Rule("r_batch", cond_regex("text", "^batch"), {"obj_type": "polygon", "size": _SIZE}),
+        Rule("r_en_or_src1", cond_or(cond_eq("lang", "en"), cond_eq("source", "src1")),
+             {"obj_type": "point"}),
+        # override: same id re-registered — later config wins (F1)
+        Rule("r_batch", cond_regex("text", "^batch"), {"obj_type": "area", "size": _SIZE}),
+    ]
+)
+
+
+@register(
+    "rule_dispatch",
+    oracle=_RULES.dispatch_all_sql("documents", ["doc_id"]),
+)
+def rule_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F6 — compiled rule conditions (eq/ne/regex/and/or), all-match
+    dispatch (FeatureConfig.pm:127-151), threshold bucketing selector,
+    override-by-id."""
+    return _RULES.dispatch_all(_docs(spark, sf_dir), ["doc_id"])
+
+
+@register(
+    "string_cleanup",
+    oracle=r"""
+SELECT doc_id,
+       TRIM(REGEXP_REPLACE(REGEXP_REPLACE(text, '[0-9]+', 'N', 'g'),
+            ' +', ' ', 'g')) AS clean_text,
+       UPPER(source) AS source_uc
+FROM documents
+""",
+)
+def string_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8/F10 — forbidden-symbol replacement + space collapse + upcase
+    (osm2mp.pl:1117-1130, lib/TextFilter.pm:18-121) as a regexp_replace
+    chain, pure whole-stage codegen."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(F.regexp_replace("text", "[0-9]+", "N"), " +", " ")
+        ).alias("clean_text"),
+        F.upper("source").alias("source_uc"),
+    )
+
+
+@register(
+    "number_extraction",
+    oracle=r"""
+SELECT event_id,
+       CAST(COALESCE(NULLIF(REGEXP_EXTRACT(props, '"k": ([0-9]+)', 1), ''), '0')
+            AS BIGINT) AS k_value,
+       CAST(CAST(COALESCE(NULLIF(REGEXP_EXTRACT(props, '"k": ([0-9]+)', 1), ''), '0')
+            AS BIGINT) * 161 / 1e2 AS DOUBLE) AS k_kmh
+FROM events
+""",
+)
+def number_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 — leading-number extraction + unit conversion (extract_number +
+    mph→km/h, osm2mp.pl:2341-2346, 1610-1615), exact integer arithmetic."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.coalesce(
+        F.nullif(F.regexp_extract("props", '"k": ([0-9]+)', 1), F.lit("")), F.lit("0")
+    ).cast("bigint")
+    return e.select(
+        "event_id",
+        k.alias("k_value"),
+        (k * 161 / F.expr("1e2")).cast("double").alias("k_kmh"),
+    )
+
+
+@register(
+    "name_selection",
+    oracle="""
+SELECT doc_id,
+       COALESCE(NULLIF(CASE WHEN lang = 'en' THEN text END, ''),
+                NULLIF(source, ''), '-') AS sel_name,
+       COALESCE(NULLIF(lang, ''), 'und') AS sel_lang
+FROM documents
+""",
+)
+def name_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 — language-priority name selection as a coalesce chain
+    (lib/LangSelect.pm:113-146 semantics: preferred-lang value, fallback
+    taglist, last-resort default)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.coalesce(
+            F.nullif(F.when(F.col("lang") == "en", F.col("text")), F.lit("")),
+            F.nullif(F.col("source"), F.lit("")),
+            F.lit("-"),
+        ).alias("sel_name"),
+        F.coalesce(F.nullif(F.col("lang"), F.lit("")), F.lit("und")).alias("sel_lang"),
+    )

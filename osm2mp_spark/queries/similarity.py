@@ -1,1 +1,155 @@
-"""Placeholder — populated in a later milestone."""
+"""Embedding similarity search over `embeddings` (vec_id, embedding
+float[], label).
+
+Cross-engine exactness: embeddings are quantized to integers
+(floor(x·1000)) so dot products and norms are EXACT integer sums —
+order-independent, parallelism-independent, engine-identical. The cosine
+then divides through correctly-rounded sqrt/division, which is bit-portable.
+
+Scale shape: the query set is broadcast; the corpus side stays columnar and
+is scanned once; per-pair arithmetic is `zip_with`+`aggregate` higher-order
+expressions (JVM codegen, no Python). The LSH variant buckets by seeded
+hyperplane signs, turning top-k into a bucket-equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import register
+
+_QUANT = "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e3) AS BIGINT))"
+_N_QUERY = 10
+_TOP_K = 5
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e3) AS BIGINT)) AS q
+  FROM embeddings),
+norms AS (
+  SELECT vec_id, q,
+         LIST_SUM(LIST_TRANSFORM(q, x -> x * x)) AS nrm
+  FROM e),
+qs AS (SELECT vec_id AS qid, q AS qq, nrm AS qn FROM norms WHERE vec_id < {_N_QUERY}),
+pairs AS (
+  SELECT qs.qid, n.vec_id AS vid,
+         LIST_SUM(LIST_TRANSFORM(LIST_ZIP(qs.qq, n.q),
+                  t -> t[1] * t[2])) AS dot,
+         qs.qn, n.nrm
+  FROM qs CROSS JOIN norms n WHERE n.vec_id <> qs.qid),
+scored AS (
+  SELECT qid, vid,
+         CAST(dot AS DOUBLE) / (SQRT(CAST(qn AS DOUBLE)) * SQRT(CAST(nrm AS DOUBLE)))
+           AS cosine
+  FROM pairs),
+ranked AS (
+  SELECT qid, vid, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS rn
+  FROM scored)
+SELECT CAST(qid AS BIGINT) AS query_id, CAST(vid AS BIGINT) AS neighbor_id,
+       cosine, CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= {_TOP_K}
+""",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the ANN baseline): broadcast query set ×
+    corpus scan, zip_with/aggregate dot products, window top-k."""
+    e = _emb(spark, sf_dir).select("vec_id", F.expr(_QUANT).alias("q"))
+    norms = e.withColumn(
+        "nrm",
+        F.expr("aggregate(transform(q, x -> x * x), CAST(0 AS BIGINT), (a, x) -> a + x)"),
+    )
+    qs = norms.filter(F.col("vec_id") < _N_QUERY).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qq"), F.col("nrm").alias("qn")
+    )
+    pairs = (
+        norms.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn(
+            "dot",
+            F.expr(
+                "aggregate(zip_with(qq, q, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"
+            ),
+        )
+        .withColumn(
+            "cosine",
+            F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("nrm").cast("double"))
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select(
+            F.col("qid").cast("bigint").alias("query_id"),
+            F.col("vec_id").cast("bigint").alias("neighbor_id"),
+            "cosine",
+            F.col("rn").cast("bigint").alias("rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed variant: seeded pseudo-hyperplane sign bits → bucket join.
+# The hyperplane for seed s has components h_i = ((i+1)*(s+1)*2654435761
+# mod 1000003) - 501001 (a deterministic integer pattern) — sign of
+# <h, q> gives one bucket bit. Exact integer dot products.
+# ---------------------------------------------------------------------------
+
+_N_PLANES = 6
+
+
+def _plane_expr(engine: str) -> str:
+    """sign-bit bucket id over _N_PLANES seeded integer hyperplanes."""
+    bits = []
+    for s in range(_N_PLANES):
+        if engine == "spark":
+            dot = (
+                f"aggregate(zip_with(q, sequence(1, size(q)), (x, i) -> "
+                f"x * ((i * {s + 1} * 2654435761) % 1000003 - 501001)), "
+                f"CAST(0 AS BIGINT), (a, x) -> a + x)"
+            )
+        else:
+            dot = (
+                f"LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q, RANGE(1, LEN(q) + 1)), "
+                f"t -> t[1] * ((t[2] * {s + 1} * 2654435761) % 1000003 - 501001)))"
+            )
+        bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << s} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+@register(
+    "ann_lsh_buckets",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e3) AS BIGINT)) AS q
+  FROM embeddings),
+b AS (SELECT vec_id, CAST({_plane_expr('duckdb')} AS BIGINT) AS bucket FROM e)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(MIN(vec_id) AS BIGINT) AS min_vec_id
+FROM b GROUP BY bucket
+""",
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucketing (the ANN scale path): 6 seeded integer hyperplane sign
+    bits → 64 buckets; top-k then only scans the query's bucket ring."""
+    e = _emb(spark, sf_dir).select("vec_id", F.expr(_QUANT).alias("q"))
+    b = e.select(
+        "vec_id", F.expr(f"CAST({_plane_expr('spark')} AS BIGINT)").alias("bucket")
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_vecs"),
+        F.min("vec_id").cast("bigint").alias("min_vec_id"),
+    )

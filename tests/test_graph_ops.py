@@ -1,0 +1,229 @@
+"""G1/W1/I1/G10-G12 operators vs the pure-Python reference oracle."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from osm2mp_spark.oracle.reference import (
+    classify_lakes_islands_oracle,
+    merge_roads_oracle,
+    self_intersection_splits_oracle,
+    stitch_coastlines_oracle,
+    stitch_rings_oracle,
+)
+
+
+class TestRingOracle:
+    def test_two_chain_square_with_reversal(self):
+        # square split into two open chains, second reversed
+        c1 = [(0, 0), (10, 0), (10, 10)]
+        c2 = [(0, 0), (0, 10), (10, 10)]  # reversed direction
+        res = stitch_rings_oracle([("outer", c1), ("outer", c2)])
+        assert res is not None
+        assert len(res["outers"]) == 1
+        ring = res["outers"][0]
+        assert ring[0] == ring[-1]
+        assert len(ring) == 5
+
+    def test_broken_relation_skipped(self):
+        c1 = [(0, 0), (10, 0), (10, 10)]
+        res = stitch_rings_oracle([("outer", c1)])
+        assert res is None
+
+    def test_inner_role(self):
+        outer = [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)]
+        hole = [(4, 4), (6, 4), (6, 6), (4, 6), (4, 4)]
+        res = stitch_rings_oracle([("outer", outer), ("inner", hole)])
+        assert len(res["outers"]) == 1 and len(res["inners"]) == 1
+
+    def test_multi_outer_exclave(self):
+        r1 = [(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)]
+        r2 = [(5, 5), (6, 5), (6, 6), (5, 6), (5, 5)]
+        res = stitch_rings_oracle([("outer", r1), ("exclave", r2)])
+        assert len(res["outers"]) == 2
+
+
+class TestSelfIntersectOracle:
+    def test_no_repeat(self):
+        assert self_intersection_splits_oracle([(0, 0), (1, 0), (2, 0)]) == []
+
+    def test_figure_eight(self):
+        # revisits (1,0) at index 3
+        pts = [(0, 0), (1, 0), (1, 1), (1, 0), (2, 0)]
+        assert self_intersection_splits_oracle(pts) == [3]
+
+    def test_immediate_repeat(self):
+        pts = [(0, 0), (1, 0), (1, 0), (2, 0)]
+        assert self_intersection_splits_oracle(pts) == [2]
+
+    def test_repeat_across_break_no_split(self):
+        # after a break the seen-set resets — a vertex from before the
+        # break does not trigger another split
+        pts = [(0, 0), (1, 0), (0, 0), (1, 0)]
+        # index 2 repeats (0,0) -> split at 2; index 3 repeats (1,0) which
+        # was seen BEFORE the break (index 1 < start=2)... but (1,0) not in
+        # new window, so no second split
+        assert self_intersection_splits_oracle(pts) == [2]
+
+
+class TestMergeOracle:
+    def _mk(self, cid, pts, attrs="a"):
+        return cid, {"chain": pts, "attrs": attrs}
+
+    def test_simple_merge(self):
+        roads = dict([
+            self._mk("r1", [(0, 0), (1, 0)]),
+            self._mk("r2", [(1, 0), (2, 0)]),
+        ])
+        out = merge_roads_oracle(roads)
+        assert out == {"r1": ["r1", "r2"]}
+
+    def test_attr_mismatch_no_merge(self):
+        roads = dict([
+            self._mk("r1", [(0, 0), (1, 0)], "a"),
+            self._mk("r2", [(1, 0), (2, 0)], "b"),
+        ])
+        out = merge_roads_oracle(roads)
+        assert out == {"r1": ["r1"], "r2": ["r2"]}
+
+    def test_sharp_angle_no_merge(self):
+        roads = dict([
+            self._mk("r1", [(0, 0), (1, 0)]),
+            self._mk("r2", [(1, 0), (0, 0.1)]),  # near-reversal, cos < 0.2
+        ])
+        out = merge_roads_oracle(roads)
+        assert set(out) == {"r1", "r2"}
+
+    def test_contention_best_cos_wins(self):
+        # r1 and r3 both end at (1,0); r2 continues straight from r1,
+        # at an angle from r3 → r1 claims r2
+        roads = dict([
+            self._mk("r1", [(0, 0), (1, 0)]),
+            self._mk("r3", [(0, 1), (1, 0)]),
+            self._mk("r2", [(1, 0), (2, 0)]),
+        ])
+        out = merge_roads_oracle(roads)
+        assert out["r1"] == ["r1", "r2"]
+        assert out["r3"] == ["r3"]
+
+    def test_three_chain(self):
+        roads = dict([
+            self._mk("r1", [(0, 0), (1, 0)]),
+            self._mk("r2", [(1, 0), (2, 0)]),
+            self._mk("r3", [(2, 0), (3, 0)]),
+        ])
+        assert merge_roads_oracle(roads) == {"r1": ["r1", "r2", "r3"]}
+
+
+class TestCoastlineOracle:
+    def test_stitch(self):
+        chains = {
+            "a": [(0, 0), (1, 0)],
+            "b": [(1, 0), (2, 0)],
+            "c": [(5, 5), (6, 6)],
+        }
+        merged = stitch_coastlines_oracle(chains)
+        assert sorted(len(m) for m in merged) == [2, 3]
+
+    def test_lake_island(self):
+        lake = [(0, 0), (0, 10), (10, 10), (10, 0), (0, 0)]  # CW = lake
+        isle = [(4, 4), (6, 4), (6, 6), (4, 6), (4, 4)]  # CCW = island
+        far_isle = [(40, 40), (41, 40), (41, 41), (40, 41), (40, 40)]
+        res = classify_lakes_islands_oracle([lake, isle, far_isle])
+        assert len(res["lakes"]) == 1
+        assert len(res["lakes"][0]["islands"]) == 1
+        assert len(res["free_islands"]) == 1
+
+
+class TestSeaSynthesis:
+    def test_single_crossing(self):
+        from osm2mp_spark.operators.coastlines import synthesize_water
+
+        bbox = (0.0, 0.0, 10.0, 10.0)
+        chains = {"c": [(-2.0, 6.0), (5.0, 5.0), (12.0, 4.0)]}
+        water = synthesize_water(chains, bbox)
+        assert len(water["seas"]) == 1
+        sea = water["seas"][0]
+        assert sea[0] == sea[-1]
+        # sea polygon covers the south side: contains (5,1), not (5,9)
+        from osm2mp_spark.geometry.kernels import points_in_ring
+
+        inside = points_in_ring([5.0, 5.0], [1.0, 9.0], sea)
+        assert inside[0] >= 0 and inside[1] < 0
+        # boundary corners (10,0) and (0,0) spliced in
+        assert (10.0, 0.0) in sea and (0.0, 0.0) in sea
+
+    def test_two_crossings_two_seas_or_one(self):
+        from osm2mp_spark.operators.coastlines import synthesize_water
+
+        bbox = (0.0, 0.0, 10.0, 10.0)
+        chains = {
+            "c1": [(-2.0, 8.0), (12.0, 8.0)],
+            "c2": [(12.0, 2.0), (-2.0, 2.0)],
+        }
+        water = synthesize_water(chains, bbox)
+        # both coastlines have water to their south/north respectively →
+        # the band between them is land; seas close via perimeter walks
+        assert len(water["seas"]) >= 1
+        for sea in water["seas"]:
+            assert sea[0] == sea[-1]
+
+
+class TestSparkGraphOps:
+    def test_assemble_rings_spark(self, spark):
+        from osm2mp_spark.operators.rings import assemble_rings
+
+        rows = [
+            ("rel1", "w1", "outer", 1, [{"lon": 0.0, "lat": 0.0}, {"lon": 10.0, "lat": 0.0}, {"lon": 10.0, "lat": 10.0}]),
+            ("rel1", "w2", "outer", 2, [{"lon": 0.0, "lat": 0.0}, {"lon": 0.0, "lat": 10.0}, {"lon": 10.0, "lat": 10.0}]),
+            ("rel2", "w3", "outer", 1, [{"lon": 0.0, "lat": 0.0}, {"lon": 5.0, "lat": 0.0}]),  # broken
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "rel_id string, way_id string, role string, seq int, "
+            "chain array<struct<lon:double, lat:double>>",
+        )
+        out = assemble_rings(df).toPandas()
+        assert set(out.rel_id) == {"rel1"}
+        assert out.iloc[0].pts[0] == out.iloc[0].pts[-1]
+
+    def test_split_self_intersections_spark(self, spark):
+        from osm2mp_spark.operators.chains import split_self_intersections
+
+        pts = spark.createDataFrame(
+            [(1, 0, 0.0, 0.0), (1, 1, 1.0, 0.0), (1, 2, 1.0, 1.0),
+             (1, 3, 1.0, 0.0), (1, 4, 2.0, 0.0),
+             (2, 0, 5.0, 5.0), (2, 1, 6.0, 5.0)],
+            "chain_id bigint, seq bigint, lon double, lat double",
+        )
+        out = split_self_intersections(pts).toPandas().sort_values(["chain_id", "seq"])
+        c1 = out[out.chain_id == 1]
+        assert list(c1.part_no) == [0, 0, 0, 1, 1]
+        c2 = out[out.chain_id == 2]
+        assert list(c2.part_no) == [0, 0]
+
+    def test_merge_roads_spark_matches_oracle(self, spark):
+        from osm2mp_spark.operators.chains import merge_roads
+
+        road_defs = {
+            1: {"chain": [(0.0, 0.0), (1.0, 0.0)], "attrs": "a"},
+            2: {"chain": [(1.0, 0.0), (2.0, 0.0)], "attrs": "a"},
+            3: {"chain": [(2.0, 0.0), (3.0, 0.0)], "attrs": "a"},
+            4: {"chain": [(2.0, 0.0), (2.0, 5.0)], "attrs": "a"},  # right angle; cos=0 no merge
+            5: {"chain": [(7.0, 0.0), (8.0, 0.0)], "attrs": "b"},
+        }
+        rows = [
+            (rid, d["attrs"], [{"lon": x, "lat": y} for x, y in d["chain"]])
+            for rid, d in road_defs.items()
+        ]
+        df = spark.createDataFrame(
+            rows, "road_id bigint, attrs string, chain array<struct<lon:double,lat:double>>"
+        )
+        out = merge_roads(df).toPandas()
+        got = dict(zip(out.road_id, out.head_id))
+        oracle = merge_roads_oracle({str(k): v for k, v in road_defs.items()})
+        want = {}
+        for head, seq in oracle.items():
+            for rid in seq:
+                want[int(rid)] = int(head)
+        assert got == want
