@@ -26,11 +26,15 @@ def split_self_intersections(
     lat: str = "lat",
 ) -> DataFrame:
     """W1 (osm2mp.pl:725-743): split a chain whenever a vertex repeats an
-    earlier vertex since the last break. Output adds part_no per row."""
+    earlier vertex since the last break. Output adds part_no per row.
+
+    Executes via grouped_map_in_pandas — one Python transition per Arrow
+    batch instead of per chain (chains are tiny, there are millions)."""
+    from .grouped import grouped_map_in_pandas
+
     schema = f"{chain_col} bigint, part_no int, {seq_col} bigint, {lon} double, {lat} double"
 
     def split(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(seq_col)
         coords = list(zip(pdf[lon], pdf[lat]))
         starts = self_intersection_splits_oracle(coords)
         part = []
@@ -41,7 +45,7 @@ def split_self_intersections(
                 p += 1
                 k += 1
             part.append(p)
-        out = pd.DataFrame(
+        return pd.DataFrame(
             {
                 chain_col: pdf[chain_col].to_numpy(),
                 "part_no": part,
@@ -50,9 +54,10 @@ def split_self_intersections(
                 lat: pdf[lat].to_numpy(),
             }
         )
-        return out
 
-    return pts.groupBy(chain_col).applyInPandas(split, schema=schema)
+    return grouped_map_in_pandas(
+        pts, chain_col, split, schema=schema, order=seq_col
+    )
 
 
 def merge_roads(

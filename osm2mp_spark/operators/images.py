@@ -1,0 +1,167 @@
+"""Multimodal (image) operators — Arrow-batched mapInPandas plumbing.
+
+The spatial stages of the engine must never ship `bytes` through Python
+(SURVEY §7.3 risk 5): geometry work selects payload columns away and
+re-joins on image_id. These operators are the *payload* path: decode,
+verify (the per-row invariant of BASELINE.json input_hint), resize, and
+feature extraction — each a vectorized batch kernel inside mapInPandas with
+a real schema, so the Spark-side shape (column pruning, batch sizes,
+partition counts) is production-true even where a codec is stubbed
+(see sources.images: jpeg is a clearly-marked deterministic fake codec).
+
+Video frame-sampling is a stub: no video codec ships in this container —
+`sample_frames` raises NotImplementedError while documenting the intended
+batch contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..sources.images import caption_for, decode, phash_for, pixels_for
+
+VERIFY_SCHEMA = (
+    "image_id string, fmt string, pixels_ok boolean, psnr double, "
+    "caption_ok boolean, phash_ok boolean"
+)
+
+FEATURE_SCHEMA = (
+    "image_id string, mean_r double, mean_g double, mean_b double, "
+    "std_gray double, dhash long"
+)
+
+RESIZE_SCHEMA = "image_id string, out_w int, out_h int, out_bytes binary"
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+def verify_images(df: DataFrame, psnr_min: float = 40.0) -> DataFrame:
+    """Per-row payload invariant (input_hint): decode bytes → allclose vs the
+    generator's pixels (exact for png/bmp, PSNR ≥ psnr_min for lossy),
+    caption exact equality, phash recompute match."""
+
+    def kernel(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                idx = int(r.image_id[3:])
+                want = pixels_for(r.image_id, r.w, r.h)
+                got = decode(bytes(r.bytes), r.fmt)
+                if r.fmt in ("png", "bmp"):
+                    ok = bool(np.array_equal(got, want))
+                    ps = float("inf") if ok else _psnr(got, want)
+                else:
+                    ps = _psnr(got, want)
+                    ok = ps >= psnr_min
+                rows.append(
+                    (
+                        r.image_id,
+                        r.fmt,
+                        ok,
+                        ps if np.isfinite(ps) else 99.0,
+                        r.caption == caption_for(idx),
+                        int(r.phash) == phash_for(want),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "fmt", "pixels_ok", "psnr", "caption_ok", "phash_ok",
+                ],
+            )
+
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    cols = df.select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    return cols.mapInPandas(kernel, schema=VERIFY_SCHEMA)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Per-channel means, grayscale std, and an 8×8 difference hash — the
+    embedding-ish features downstream dedup/ANN stages consume."""
+
+    def kernel(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                px = decode(bytes(r.bytes), r.fmt).astype(np.float64)
+                gray = px.mean(axis=2)
+                # 8x8 dhash: downsample to 8x9 grid, compare horizontal pairs
+                h, w = gray.shape
+                ys = (np.arange(8) * h) // 8
+                xs = (np.arange(9) * w) // 9
+                g = gray[np.ix_(ys, xs)]
+                bits = (g[:, 1:] > g[:, :-1]).flatten()
+                dh = 0
+                for b in bits:
+                    dh = (dh << 1) | int(b)
+                dh -= (dh & (1 << 63)) << 1  # to signed int64
+                rows.append(
+                    (
+                        r.image_id,
+                        float(px[:, :, 0].mean()),
+                        float(px[:, :, 1].mean()),
+                        float(px[:, :, 2].mean()),
+                        float(gray.std()),
+                        dh,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "mean_r", "mean_g", "mean_b", "std_gray", "dhash"],
+            )
+
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    return df.select("image_id", "bytes", "fmt").mapInPandas(
+        kernel, schema=FEATURE_SCHEMA
+    )
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize, re-encoded as PNG (lossless output side)."""
+    from ..sources.images import encode_png
+
+    def kernel(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                px = decode(bytes(r.bytes), r.fmt)
+                h, w, _ = px.shape
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                out = px[np.ix_(ys, xs)]
+                rows.append((r.image_id, out_w, out_h, encode_png(out)))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "out_w", "out_h", "out_bytes"]
+            )
+
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    return df.select("image_id", "bytes", "fmt").mapInPandas(
+        kernel, schema=RESIZE_SCHEMA
+    )
+
+
+def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling — STUB. No video codec ships in this container.
+
+    Intended contract: input (video_id string, bytes binary, fmt string),
+    mapInPandas kernel decodes container → yields (video_id, frame_no,
+    frame_bytes) every `every_n` frames, partitioned by video_id so one
+    video never splits across batches."""
+    raise NotImplementedError(
+        "video codecs unavailable in this environment; the mapInPandas "
+        "contract is documented above and the image path (decode/resize/"
+        "features) demonstrates the identical plumbing"
+    )

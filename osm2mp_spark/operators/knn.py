@@ -125,6 +125,9 @@ def knn_celltree(
     out_dist: str = "dist_sq",
 ) -> DataFrame:
     """1-NN via broadcast KD-tree in an Arrow UDF (scale path)."""
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
     ids = [a[0] for a in anchors]
     xs = np.array([a[1] for a in anchors])
     ys = np.array([a[2] for a in anchors])

@@ -57,6 +57,9 @@ def pip_join(
     use a left join back on the caller side for outer semantics.
     """
     spark = df.sparkSession
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(spark)
     entries = _entries_df(df, index)
     bidx = spark.sparkContext.broadcast(index)
 

@@ -27,10 +27,13 @@ RING_SCHEMA = (
 
 
 def assemble_rings(members: DataFrame) -> DataFrame:
-    """Stitch member ways into closed outer/inner rings per relation."""
+    """Stitch member ways into closed outer/inner rings per relation.
+
+    Executes via grouped_map_in_pandas — one Python transition per Arrow
+    batch instead of per relation (relations are tiny, there are millions)."""
+    from .grouped import grouped_map_in_pandas
 
     def stitch(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("seq")
         mems = [
             (row.role, [(p["lon"], p["lat"]) for p in row.chain])
             for row in pdf.itertuples()
@@ -50,4 +53,6 @@ def assemble_rings(members: DataFrame) -> DataFrame:
                 n += 1
         return pd.DataFrame(rows, columns=["rel_id", "ring_no", "is_inner", "pts"])
 
-    return members.groupBy("rel_id").applyInPandas(stitch, schema=RING_SCHEMA)
+    return grouped_map_in_pandas(
+        members, "rel_id", stitch, schema=RING_SCHEMA, order="seq"
+    )

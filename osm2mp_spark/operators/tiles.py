@@ -38,6 +38,9 @@ def assign_tiles_bsp(
     out_col: str = "tile_id",
 ) -> DataFrame:
     """Attach the BSP tile id to every row (broadcast tree, Arrow UDF)."""
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
     btree = df.sparkSession.sparkContext.broadcast(tree)
 
     @F.pandas_udf("int")

@@ -33,3 +33,5 @@ def load_all() -> None:
     from . import similarity  # noqa: F401
     from . import rules  # noqa: F401
     from . import geometry  # noqa: F401
+    from . import streaming_q  # noqa: F401
+    from . import images_q  # noqa: F401

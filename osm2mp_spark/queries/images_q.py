@@ -1,0 +1,60 @@
+"""Image-payload queries (rows-only at the driver gate — the images table is
+engine-generated, not a DuckDB view; exact payload semantics are
+pytest-verified per FIXTURES.md §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.images import extract_features, verify_images
+from ..sources.images import generate_images_df
+from . import register
+
+
+def _n_for(spark: SparkSession, sf_dir: str) -> int:
+    """Scale the synthesized images volume with the sf tier."""
+    return int(
+        spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    )
+
+
+@register("image_verify")
+def image_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row payload invariant over the distributed-generated images table:
+    decoded-pixel allclose (exact for png/bmp, PSNR≥40dB for lossy), caption
+    equality, phash recompute. Output: per-fmt pass counts."""
+    imgs = generate_images_df(spark, _n_for(spark, sf_dir))
+    v = verify_images(imgs)
+    return v.groupBy("fmt").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("pixels_ok").cast("int")).alias("n_pixels_ok"),
+        F.sum(F.col("caption_ok").cast("int")).alias("n_caption_ok"),
+        F.sum(F.col("phash_ok").cast("int")).alias("n_phash_ok"),
+        F.min("psnr").alias("min_psnr"),
+    )
+
+
+@register("image_spatial_join")
+def image_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship at the image table (the true graft shape): images →
+    derived positions (hotspot-skewed) → PIP city join → per-city image
+    counts + mean feature. Payload `bytes` is selected away BEFORE the
+    spatial stages (risk 5) and features re-join on image_id."""
+    from ..operators.pip_join import pip_join
+    from ..sources.layers import city_polygons
+    from ..spatial.index import PolygonIndex
+
+    imgs = generate_images_df(spark, _n_for(spark, sf_dir))
+    feats = extract_features(imgs)
+    pts = imgs.select("image_id", "lon", "lat")  # bytes pruned away
+    hits = pip_join(pts, PolygonIndex(city_polygons()), how="smallest",
+                    area_col="city_id")
+    return (
+        hits.join(feats, "image_id")
+        .groupBy("city_id")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.expr("CAST(ROUND(AVG(std_gray) * 100) AS BIGINT)").alias("avg_std_x100"),
+        )
+    )

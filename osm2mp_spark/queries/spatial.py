@@ -88,8 +88,29 @@ _CHAIN_CTE = (
 )
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1)
 def _city_index() -> PolygonIndex:
+    """Cached: the cell-cover construction is driver-side work shared by
+    every query (and by repeated driver-gate invocations)."""
     return PolygonIndex(city_polygons())
+
+
+@lru_cache(maxsize=1)
+def _region_index() -> PolygonIndex:
+    return PolygonIndex(region_polygons())
+
+
+@lru_cache(maxsize=1)
+def _country_index() -> PolygonIndex:
+    return PolygonIndex(country_polygons())
+
+
+@lru_cache(maxsize=1)
+def _access_index() -> PolygonIndex:
+    return PolygonIndex([Polygon(a["area_id"], [a["outer"]]) for a in ACCESS_AREAS])
 
 
 # SQL fragment: contained(point_id, city_id, area) — convex-edge bool_and
@@ -187,9 +208,9 @@ def pip_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     city = pip_join(pts, _city_index(), how="smallest", area_col="city_id").select(
         "point_id", "city_id"
     )
-    region = pip_join(pts, PolygonIndex(region_polygons()), how="smallest",
+    region = pip_join(pts, _region_index(), how="smallest",
                       area_col="region_id").select("point_id", "region_id")
-    country = pip_join(pts, PolygonIndex(country_polygons()), how="smallest",
+    country = pip_join(pts, _country_index(), how="smallest",
                        area_col="country_id").select("point_id", "country_id")
     return (
         pts.select("point_id")
@@ -258,7 +279,7 @@ def access_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 — flags of every containing restricted area OR-ed together
     (TransportAccess.pm:108-117 semantics as a bitmask)."""
     pts = customer_points(spark, sf_dir)
-    idx = PolygonIndex([Polygon(a["area_id"], [a["outer"]]) for a in ACCESS_AREAS])
+    idx = _access_index()
     masks = {a["area_id"]: a["mask"] for a in ACCESS_AREAS}
     return pip_flags_or(pts, idx, masks).select("point_id", "access_mask")
 

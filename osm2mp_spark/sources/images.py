@@ -1,0 +1,240 @@
+"""Deterministic images fact table (BASELINE.json input_hint / FIXTURES.md §1):
+
+    images(image_id string, bytes binary, w int, h int, fmt string,
+           caption string, phash bigint)
+
+Pixels are a seeded gradient + sha256(image_id)-derived noise, so every row
+is reproducible anywhere. Formats:
+
+- png  — real PNG (stdlib zlib; filter-0 scanlines, CRC'd chunks) — lossless
+- bmp  — real 24-bit bottom-up BMP — lossless
+- jpeg — **STUB CODEC**: the container ships no JPEG library (no PIL /
+  imageio), so `jpeg` rows use a clearly-marked deterministic fake lossy
+  codec (`FJPG` magic): pixels quantized to 64 levels/channel, decoded as
+  mid-bucket values. This keeps the lossy-path plumbing (PSNR≥40dB check,
+  distinct decode branch, smaller payload) real while the codec itself is
+  swappable for a real JPEG encoder on a full cluster image.
+
+Generation is DISTRIBUTED: `generate_images_df` maps a `spark.range(n)`
+through `mapInPandas`, so at 10^12 scale rows are synthesized on executors,
+never on the driver. The derived position is `(lon, lat) = G(idx)` from
+sources.points, with 20% of rows drawn toward 5 Gaussian hotspots to create
+the hot-cell skew the salted repartition must defuse (FIXTURES.md §1).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+
+import numpy as np
+
+W_CHOICES = (32, 64, 128)
+H_CHOICES = (32, 48, 96)
+FMT_CHOICES = ("png", "jpeg", "bmp")
+
+HOTSPOTS = [(-150.0, -40.0), (-120.0, 50.0), (30.0, -40.0), (110.0, 30.0), (126.0, 9.0)]
+HOTSPOT_SIGMA = 0.5
+HOTSPOT_FRACTION = 0.2
+
+IMAGES_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long, lon double, lat double"
+)
+
+_WORDS = [
+    "map", "tile", "river", "city", "road", "coast", "island", "peak",
+    "bridge", "forest", "lake", "plain", "delta", "ridge", "bay", "cape",
+]
+
+
+def _rng_ints(image_id: str, n: int) -> np.ndarray:
+    """Deterministic uint8 stream from repeated sha256(image_id || counter)."""
+    out = np.empty(n, dtype=np.uint8)
+    pos = 0
+    ctr = 0
+    while pos < n:
+        h = hashlib.sha256(f"{image_id}:{ctr}".encode()).digest()
+        take = min(32, n - pos)
+        out[pos : pos + take] = np.frombuffer(h[:take], dtype=np.uint8)
+        pos += take
+        ctr += 1
+    return out
+
+
+def pixels_for(image_id: str, w: int, h: int) -> np.ndarray:
+    """(h, w, 3) uint8: horizontal+vertical gradient + seeded noise."""
+    seed = _rng_ints(image_id, 3)
+    gx = np.linspace(0, 255, w, dtype=np.float64)[None, :, None]
+    gy = np.linspace(0, 255, h, dtype=np.float64)[:, None, None]
+    base = (gx + gy) / 2.0 + seed[None, None, :].astype(np.float64)
+    noise = _rng_ints(image_id + ":px", w * h * 3).reshape(h, w, 3)
+    px = (base + noise.astype(np.float64) * 0.25) % 256.0
+    return px.astype(np.uint8)
+
+
+def caption_for(idx: int) -> str:
+    h = hashlib.sha256(f"cap:{idx}".encode()).digest()
+    words = " ".join(_WORDS[b % len(_WORDS)] for b in h[:5])
+    return f"caption {idx} {words}"
+
+
+def phash_for(pixels: np.ndarray) -> int:
+    h = hashlib.sha256(pixels.tobytes()).digest()
+    return struct.unpack(">q", h[:8])[0]
+
+
+# --- codecs ------------------------------------------------------------------
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    h, w, _ = pixels.shape
+    raw = b"".join(b"\x00" + pixels[r].tobytes() for r in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    pos = 8
+    w = h = None
+    idat = b""
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", body[:10])
+            assert depth == 8 and ctype == 2, "only 8-bit RGB supported"
+        elif tag == b"IDAT":
+            idat += body
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    stride = w * 3 + 1
+    rows = []
+    for r in range(h):
+        line = raw[r * stride : (r + 1) * stride]
+        assert line[0] == 0, "only filter-0 scanlines supported"
+        rows.append(np.frombuffer(line[1:], dtype=np.uint8))
+    return np.vstack(rows).reshape(h, w, 3)
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    h, w, _ = pixels.shape
+    pad = (4 - (w * 3) % 4) % 4
+    rows = b"".join(
+        pixels[r, :, ::-1].tobytes() + b"\x00" * pad for r in range(h - 1, -1, -1)
+    )
+    size = 54 + len(rows)
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", size, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
+    )
+    return header + rows
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    assert data[:2] == b"BM", "not a BMP"
+    (offset,) = struct.unpack("<I", data[10:14])
+    w, h = struct.unpack("<ii", data[18:26])
+    pad = (4 - (w * 3) % 4) % 4
+    stride = w * 3 + pad
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for r in range(h):
+        line = data[offset + r * stride : offset + r * stride + w * 3]
+        out[h - 1 - r] = np.frombuffer(line, dtype=np.uint8).reshape(w, 3)[:, ::-1]
+    return out
+
+
+def encode_fake_jpeg(pixels: np.ndarray) -> bytes:
+    """STUB lossy codec (see module docstring): 64 levels per channel."""
+    h, w, _ = pixels.shape
+    q = (pixels >> 2).astype(np.uint8)  # 0..63
+    return b"FJPG" + struct.pack("<HH", w, h) + q.tobytes()
+
+
+def decode_fake_jpeg(data: bytes) -> np.ndarray:
+    assert data[:4] == b"FJPG", "not a fake-jpeg payload"
+    w, h = struct.unpack("<HH", data[4:8])
+    q = np.frombuffer(data[8:], dtype=np.uint8).reshape(h, w, 3)
+    return ((q << 2) | 2).astype(np.uint8)  # mid-bucket reconstruction
+
+
+def encode(pixels: np.ndarray, fmt: str) -> bytes:
+    return {"png": encode_png, "bmp": encode_bmp, "jpeg": encode_fake_jpeg}[fmt](pixels)
+
+
+def decode(data: bytes, fmt: str) -> np.ndarray:
+    return {"png": decode_png, "bmp": decode_bmp, "jpeg": decode_fake_jpeg}[fmt](data)
+
+
+# --- row + DataFrame generation ---------------------------------------------
+
+def image_row(idx: int) -> dict:
+    image_id = f"img{idx:012d}"
+    w = W_CHOICES[idx % 3]
+    h = H_CHOICES[idx % 3]
+    fmt = FMT_CHOICES[idx % 3]
+    px = pixels_for(image_id, w, h)
+    lon, lat = position_for(idx)
+    return {
+        "image_id": image_id,
+        "bytes": encode(px, fmt),
+        "w": w,
+        "h": h,
+        "fmt": fmt,
+        "caption": caption_for(idx),
+        "phash": phash_for(px),
+        "lon": lon,
+        "lat": lat,
+    }
+
+
+def position_for(idx: int) -> tuple[float, float]:
+    """Derived position with hotspot skew (FIXTURES.md §1): 20% of rows pull
+    toward one of 5 Gaussian city hotspots; the rest use the uniform exact
+    generator of sources.points."""
+    from .points import derived_points_np
+
+    lon, lat = derived_points_np(np.array([idx]))
+    u = _rng_ints(f"pos:{idx}", 3)
+    if u[0] < 256 * HOTSPOT_FRACTION:
+        cx, cy = HOTSPOTS[u[1] % len(HOTSPOTS)]
+        # Box-Muller-free deterministic offset: scaled centered bytes
+        dx = (float(u[1]) - 127.5) / 127.5 * 2.0 * HOTSPOT_SIGMA
+        dy = (float(u[2]) - 127.5) / 127.5 * 2.0 * HOTSPOT_SIGMA
+        return cx + dx, cy + dy
+    return float(lon[0]), float(lat[0])
+
+
+def generate_images_df(spark, n: int, partitions: int | None = None):
+    """Distributed deterministic generation: executors synthesize their own
+    row ranges (the 10^12-scale pattern — no driver materialization)."""
+    import pandas as pd
+
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    rng = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
+
+    def gen(it):
+        for pdf in it:
+            rows = [image_row(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(rows)
+
+    return rng.mapInPandas(gen, schema=IMAGES_SCHEMA)

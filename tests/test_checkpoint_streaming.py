@@ -1,0 +1,97 @@
+"""Checkpoint/resume lineage + Structured Streaming ↔ batch equivalence."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestCheckpoint:
+    def test_write_then_resume_skips_done(self, spark, tmp_path):
+        from osm2mp_spark.streaming.checkpoint import (
+            checkpointed_write,
+            read_manifest,
+            resume_remaining,
+        )
+
+        df = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        out = str(tmp_path / "ckpt")
+        s1 = checkpointed_write(df, out, "k", n_buckets=8)
+        assert s1["written"] == 8 and s1["skipped"] == 0 and s1["rows"] == 1000
+
+        man = read_manifest(spark, out).toPandas()
+        assert len(man) == 8
+        assert man.rows.sum() == 1000
+        assert (man.secs >= 0).all()
+
+        # full rerun: everything skipped (idempotent resume)
+        s2 = checkpointed_write(df, out, "k", n_buckets=8)
+        assert s2["written"] == 0 and s2["skipped"] == 8
+
+        # simulate mid-run kill: delete 3 manifests → only those remain
+        mdir = os.path.join(out, "manifest")
+        for fn in sorted(os.listdir(mdir))[:3]:
+            os.remove(os.path.join(mdir, fn))
+        remaining = resume_remaining(df, out, "k", n_buckets=8)
+        s3 = checkpointed_write(remaining, out, "k", n_buckets=8)
+        assert s3["written"] == 3
+
+        # data files complete and consistent
+        ddir = os.path.join(out, "data")
+        total = sum(
+            len(pd.read_parquet(os.path.join(ddir, f))) for f in os.listdir(ddir)
+        )
+        assert total == 1000
+
+    def test_resume_empty_manifest_returns_all(self, spark, tmp_path):
+        from osm2mp_spark.streaming.checkpoint import resume_remaining
+
+        df = spark.range(100).select(F.col("id").alias("k"))
+        rem = resume_remaining(df, str(tmp_path / "none"), "k")
+        assert rem.count() == 100
+
+
+class TestStreamingEquivalence:
+    def test_stream_matches_batch(self, spark, sf_dir, tmp_path):
+        import shutil
+
+        from osm2mp_spark.streaming.windows import (
+            windowed_counts_batch,
+            windowed_counts_stream,
+        )
+
+        # readStream sources must be directories
+        events_dir = tmp_path / "events_stream"
+        events_dir.mkdir()
+        shutil.copy(f"{sf_dir}/events.parquet", events_dir / "part-0.parquet")
+        events_path = f"{sf_dir}/events.parquet"
+        batch = (
+            windowed_counts_batch(spark.read.parquet(events_path))
+            .toPandas()
+            .sort_values(["window_start_us", "event_type"])
+            .reset_index(drop=True)
+        )
+        schema = spark.read.parquet(events_path).schema
+        stream = windowed_counts_stream(spark, str(events_dir), schema)
+        q = (
+            stream.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("winagg")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = (
+                spark.sql("SELECT * FROM winagg")
+                .toPandas()
+                .sort_values(["window_start_us", "event_type"])
+                .reset_index(drop=True)
+            )
+        finally:
+            q.stop()
+        assert len(got) == len(batch)
+        assert (got.window_start_us.to_numpy() == batch.window_start_us.to_numpy()).all()
+        assert (got.n.to_numpy() == batch.n.to_numpy()).all()

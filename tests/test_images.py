@@ -1,0 +1,118 @@
+"""Image payload path: codecs, generator determinism, Spark pipeline,
+per-row invariant (FIXTURES.md §7)."""
+
+import numpy as np
+import pytest
+
+from osm2mp_spark.sources.images import (
+    caption_for,
+    decode,
+    decode_bmp,
+    decode_fake_jpeg,
+    decode_png,
+    encode_bmp,
+    encode_fake_jpeg,
+    encode_png,
+    image_row,
+    phash_for,
+    pixels_for,
+    position_for,
+)
+
+
+class TestCodecs:
+    def _px(self, w=32, h=48):
+        return pixels_for("img000000000007", w, h)
+
+    def test_png_roundtrip_exact(self):
+        px = self._px()
+        assert np.array_equal(decode_png(encode_png(px)), px)
+
+    def test_bmp_roundtrip_exact(self):
+        px = self._px(33, 17)  # odd width exercises row padding
+        assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+    def test_fake_jpeg_psnr_above_40(self):
+        px = self._px(64, 48)
+        got = decode_fake_jpeg(encode_fake_jpeg(px))
+        mse = np.mean((got.astype(float) - px.astype(float)) ** 2)
+        psnr = 10 * np.log10(255**2 / mse)
+        assert psnr >= 40.0
+
+    def test_decode_dispatch_rejects_wrong_magic(self):
+        px = self._px()
+        with pytest.raises(AssertionError):
+            decode(encode_png(px), "bmp")
+
+
+class TestGenerator:
+    def test_row_deterministic(self):
+        a, b = image_row(42), image_row(42)
+        assert a == b
+
+    def test_phash_matches_pixels(self):
+        r = image_row(9)
+        px = pixels_for(r["image_id"], r["w"], r["h"])
+        assert r["phash"] == phash_for(px)
+
+    def test_caption_format(self):
+        assert caption_for(5).startswith("caption 5 ")
+        assert len(caption_for(5).split()) == 7
+
+    def test_positions_have_hotspot_skew(self):
+        lons = np.array([position_for(i)[0] for i in range(2000)])
+        lats = np.array([position_for(i)[1] for i in range(2000)])
+        # ~20% of points within 2σ·2 of a hotspot center
+        from osm2mp_spark.sources.images import HOTSPOTS
+
+        near = np.zeros(2000, dtype=bool)
+        for cx, cy in HOTSPOTS:
+            near |= (np.abs(lons - cx) <= 1.0) & (np.abs(lats - cy) <= 1.0)
+        frac = near.mean()
+        assert 0.1 < frac < 0.3
+
+
+class TestSparkImagePath:
+    def test_generate_verify_features(self, spark):
+        from osm2mp_spark.operators.images import extract_features, verify_images
+        from osm2mp_spark.sources.images import generate_images_df
+
+        df = generate_images_df(spark, 60, partitions=4)
+        ver = verify_images(df).toPandas()
+        assert len(ver) == 60
+        assert ver.pixels_ok.all()
+        assert ver.caption_ok.all()
+        assert ver.phash_ok.all()
+        assert (ver[ver.fmt == "jpeg"].psnr >= 40).all()
+
+        feats = extract_features(df).toPandas()
+        assert len(feats) == 60
+        assert (feats.std_gray > 0).all()
+
+    def test_resize(self, spark):
+        from osm2mp_spark.operators.images import resize_images
+        from osm2mp_spark.sources.images import generate_images_df, decode_png
+
+        df = generate_images_df(spark, 9, partitions=2)
+        out = resize_images(df, 16, 16).toPandas()
+        assert len(out) == 9
+        px = decode_png(bytes(out.iloc[0].out_bytes))
+        assert px.shape == (16, 16, 3)
+
+    def test_frame_sampling_stub(self, spark):
+        from osm2mp_spark.operators.images import sample_frames
+        from osm2mp_spark.sources.images import generate_images_df
+
+        with pytest.raises(NotImplementedError):
+            sample_frames(generate_images_df(spark, 3))
+
+    def test_corrupt_bytes_surface_cleanly(self, spark):
+        from osm2mp_spark.operators.images import verify_images
+        from osm2mp_spark.sources.images import generate_images_df
+        from pyspark.sql import functions as F
+
+        df = generate_images_df(spark, 6, partitions=1).withColumn(
+            "bytes", F.expr("CAST('garbage' AS BINARY)")
+        )
+        with pytest.raises(Exception):
+            verify_images(df).collect()
