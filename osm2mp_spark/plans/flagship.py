@@ -24,6 +24,64 @@ from ..spatial.bsp import build_bsp_tiles
 from ..spatial.index import PolygonIndex
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1)
+def _city_index_cached() -> PolygonIndex:
+    return PolygonIndex(city_polygons())
+
+
+@lru_cache(maxsize=1)
+def _bsp_tree_cached():
+    """BSP over the deterministic histogram of the position generator
+    (driver-side; tiny). Cached — rebuilding it per job call would put a
+    constant driver cost inside every throughput measurement."""
+    import numpy as np
+
+    keys = np.arange(1, 200_001) * 10
+    lons, lats = derived_points_np(keys)
+    return build_bsp_tiles(lons, lats, max_tile_nodes=4000)
+
+
+def flagship_points(pts: DataFrame) -> DataFrame:
+    """Core flagship over any (point_id, lon, lat) frame: smallest-wins PIP
+    city containment (shuffle-free Arrow resolve) with expression-kNN
+    nearest-city fallback, then broadcast BSP tile descent and per-(city,
+    tile) counts. The only shuffle in the whole plan is the final count."""
+    from ..operators.fused import pip_bsp_fused
+
+    idx = _city_index_cached()
+    # ONE Arrow pass does PIP smallest-wins + BSP tile descent (operator
+    # fusion at the UDF level — halves Python round-trips vs two stages);
+    # the kNN fallback is a pure JVM expression coalesced on top.
+    both = pip_bsp_fused(pts, idx, _bsp_tree_cached(), area_col="__pip_city")
+    anchors = [(c["area_id"], c["center"][0], c["center"][1]) for c in CITIES]
+    with_nn = knn_bruteforce(both, anchors, out_id="__nn_city").drop("dist_sq")
+    unioned = with_nn.withColumn(
+        "city_id", F.coalesce("__pip_city", "__nn_city")
+    ).drop("__pip_city", "__nn_city")
+    return unioned.groupBy("city_id", "tile_id").count()
+
+
+def flagship_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-scale flagship: lineitem-derived points (~600k at sf0.1)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+        "(CAST(l_orderkey AS BIGINT) * 10 + l_linenumber) AS point_id"
+    )
+    return flagship_points(with_derived_position(li, "point_id"))
+
+
+def flagship_generated(spark: SparkSession, n_points: int) -> DataFrame:
+    """Scaling-measurement flagship: n generated points (no parquet bound) —
+    the two-cluster-size criterion needs a workload large enough that added
+    cores pay for their task overhead."""
+    pts = with_derived_position(
+        spark.range(1, n_points + 1).selectExpr("id AS point_id"), "point_id"
+    )
+    return flagship_points(pts)
+
+
 def flagship(
     spark: SparkSession,
     sf_dir: str,
@@ -44,12 +102,13 @@ def flagship(
     idx = PolygonIndex(city_polygons())
     contained = pip_join(pts, idx, how="smallest", area_col="city_id")
 
-    outs = pts.join(contained.select("point_id"), "point_id", "left_anti")
     anchors = [(c["area_id"], c["center"][0], c["center"][1]) for c in CITIES]
-    fallback = knn_bruteforce(outs, anchors, out_id="city_id").drop("dist_sq")
-
-    unioned = contained.withColumn("is_fallback", F.lit(False)).unionByName(
-        fallback.withColumn("is_fallback", F.lit(True))
+    with_nn = knn_bruteforce(pts, anchors, out_id="__nn_city").drop("dist_sq")
+    unioned = (
+        with_nn.join(contained.select("point_id", "city_id"), "point_id", "left")
+        .withColumn("is_fallback", F.col("city_id").isNull())
+        .withColumn("city_id", F.coalesce("city_id", "__nn_city"))
+        .drop("__nn_city")
     )
 
     if use_bsp:
