@@ -35,3 +35,5 @@ def load_all() -> None:
     from . import geometry  # noqa: F401
     from . import streaming_q  # noqa: F401
     from . import images_q  # noqa: F401
+    from . import relations  # noqa: F401
+    from . import kernels_q  # noqa: F401
