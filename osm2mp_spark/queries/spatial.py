@@ -416,3 +416,31 @@ def node_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nod_id", F.row_number().over(w).cast("bigint"))
         .select("node_id", "nod_id")
     )
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity * 100 AS BIGINT)) AS BIGINT) AS sum_qty_x100,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+         AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic pricing-summary aggregation (the conventional-OLAP sanity
+    check): multi-agg groupBy with predicate pushdown; money compared as
+    exact cents."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "1998-09-02 00:00:00"
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.expr("CAST(l_quantity * 100 AS BIGINT)")).alias("sum_qty_x100"),
+        F.expr(
+            "CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)"
+        ).alias("revenue_cents"),
+        F.count("*").alias("n_rows"),
+    )

@@ -33,3 +33,14 @@ def windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("CAST(ROUND(total_value * 100) AS BIGINT)").alias("total_cents"),
     )
+
+
+from ..streaming.sessions import SESSION_ORACLE_SQL, sessionize_batch
+
+
+@register("sessionize", oracle=SESSION_ORACLE_SQL)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min gap) — the gaps-and-islands window pattern on
+    event time; the stateful-streaming twin (applyInPandasWithState) is
+    equivalence-tested in tests/test_checkpoint_streaming.py."""
+    return sessionize_batch(spark.read.parquet(f"{sf_dir}/events.parquet"))

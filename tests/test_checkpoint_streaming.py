@@ -95,3 +95,41 @@ class TestStreamingEquivalence:
         assert len(got) == len(batch)
         assert (got.window_start_us.to_numpy() == batch.window_start_us.to_numpy()).all()
         assert (got.n.to_numpy() == batch.n.to_numpy()).all()
+
+
+class TestStatefulSessionize:
+    def test_stateful_stream_matches_batch(self, spark, sf_dir, tmp_path):
+        import shutil
+
+        from osm2mp_spark.streaming.sessions import sessionize_batch, sessionize_stream
+
+        events_dir = tmp_path / "ev"
+        events_dir.mkdir()
+        shutil.copy(f"{sf_dir}/events.parquet", events_dir / "part-0.parquet")
+        batch = (
+            sessionize_batch(spark.read.parquet(f"{sf_dir}/events.parquet"))
+            .toPandas()
+            .sort_values(["user_id", "session_no"])
+            .reset_index(drop=True)
+        )
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        q = (
+            sessionize_stream(spark, str(events_dir), schema)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("sess")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = (
+                spark.sql("SELECT * FROM sess")
+                .toPandas()
+                .sort_values(["user_id", "session_no"])
+                .reset_index(drop=True)
+            )
+        finally:
+            q.stop()
+        assert len(got) == len(batch)
+        for c in ["user_id", "session_no", "n_events", "start_us", "end_us"]:
+            assert (got[c].to_numpy() == batch[c].to_numpy()).all(), c

@@ -1,0 +1,71 @@
+"""Physical-plan assertions — codify the perf claims so regressions that
+silently change the plan shape (a lost broadcast, an extra shuffle, lost
+column pruning) fail loudly."""
+
+import contextlib
+import io
+
+import pytest
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+class TestPlanShapes:
+    def test_way_node_resolution_uses_sort_merge(self, spark, sf_dir):
+        import __spark_entry__ as E
+
+        p = plan_of(E.queries()["way_node_resolution"](spark, sf_dir))
+        assert "SortMergeJoin" in p
+        assert "BroadcastHashJoin" not in p
+
+    def test_pip_city_no_shuffle_before_udf(self, spark, sf_dir):
+        """pip_resolve is shuffle-free: the only Exchange (if any) belongs
+        to downstream consumers, not the containment itself."""
+        from osm2mp_spark.operators.pip_join import pip_resolve
+        from osm2mp_spark.queries.spatial import _city_index, customer_points
+
+        df = pip_resolve(customer_points(spark, sf_dir), _city_index())
+        p = plan_of(df)
+        assert "Exchange" not in p
+        assert "ArrowEvalPython" in p or "PythonUDF" in p or "Project" in p
+
+    def test_knn_expression_no_join_no_shuffle(self, spark, sf_dir):
+        from osm2mp_spark.operators.knn import knn_bruteforce
+        from osm2mp_spark.queries.spatial import customer_points
+        from osm2mp_spark.sources.layers import CITIES
+
+        anchors = [(c["area_id"], c["center"][0], c["center"][1]) for c in CITIES]
+        p = plan_of(knn_bruteforce(customer_points(spark, sf_dir), anchors))
+        assert "Join" not in p
+        assert "Exchange" not in p
+
+    def test_image_flagship_single_exchange_pruned_scan(self, spark, tmp_path):
+        from osm2mp_spark.plans.images_flagship import flagship_images
+        from osm2mp_spark.sources.images import generate_images_df
+
+        path = str(tmp_path / "imgs")
+        generate_images_df(spark, 30, partitions=2).write.parquet(path)
+        p = plan_of(flagship_images(spark, path))
+        # one shuffle total (the final partial->final aggregate)
+        assert p.count("Exchange") == 1
+        # scan pruned to the 5 needed columns (no w/h/caption/phash)
+        assert "caption" not in p.split("ReadSchema")[-1]
+        assert "MapInPandas" in p
+
+    def test_small_dim_joins_broadcast(self, spark, sf_dir):
+        import __spark_entry__ as E
+
+        p = plan_of(E.queries()["street_relation_tags"](spark, sf_dir))
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p
+
+    def test_pricing_summary_filter_pushdown(self, spark, sf_dir):
+        import __spark_entry__ as E
+
+        p = plan_of(E.queries()["pricing_summary"](spark, sf_dir))
+        assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
