@@ -280,3 +280,44 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.select(
         F.col("doc_a").cast("bigint"), F.col("doc_b").cast("bigint"), "jaccard"
     )
+
+
+@register(
+    "simhash_pairs",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, t.w
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(w)),
+hexpos AS (SELECT UNNEST(generate_series(1, 8)) AS p),
+digits AS (
+  SELECT doc_id, p,
+         STRPOS('0123456789abcdef', SUBSTR(md5(w), p, 1)) - 1 AS v
+  FROM toks CROSS JOIN hexpos),
+bits AS (
+  SELECT doc_id, (p - 1) * 4 + k AS bit_no,
+         CASE WHEN ((v >> (3 - k)) & 1) = 1 THEN 1 ELSE -1 END AS s
+  FROM digits, UNNEST(generate_series(0, 3)) AS g(k)),
+votes AS (SELECT doc_id, bit_no, SUM(s) AS vote FROM bits GROUP BY doc_id, bit_no),
+sh AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(SUM(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << (31 - bit_no)
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 6
+""",
+)
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 32-bit signatures compared by popcount of the
+    XOR, threshold ≤6 bits. All-pairs here (500 docs); at scale the join key
+    becomes simhash bands (same LSH shape as minhash)."""
+    sh = dedup_simhash(spark, sf_dir)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").alias("hamming"),
+    ).filter("hamming <= 6")

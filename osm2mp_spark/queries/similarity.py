@@ -153,3 +153,60 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_vecs"),
         F.min("vec_id").cast("bigint").alias("min_vec_id"),
     )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e3) AS BIGINT)) AS q
+  FROM embeddings),
+norms AS (
+  SELECT vec_id, q, LIST_SUM(LIST_TRANSFORM(q, x -> x * x)) AS nrm FROM e),
+b AS (SELECT vec_id, q, nrm, CAST({_plane_expr('duckdb')} AS BIGINT) AS bucket
+      FROM norms),
+pairs AS (
+  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+         LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.q, c.q), t -> t[1] * t[2])) AS dot,
+         a.nrm AS na, c.nrm AS nb
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+SELECT CAST(vec_a AS BIGINT) AS vec_a, CAST(vec_b AS BIGINT) AS vec_b,
+       CAST(dot AS DOUBLE) / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE)))
+         AS cosine
+FROM pairs
+WHERE CAST(dot AS DOUBLE) / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE)))
+      >= 0.35
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: LSH sign-bucket equi-join prunes the pair
+    space, exact quantized cosine confirms (the scale shape: candidates per
+    bucket, never all-pairs). Pairs above the near-dup threshold emitted."""
+    e = _emb(spark, sf_dir).select("vec_id", F.expr(_QUANT).alias("q"))
+    norms = e.withColumn(
+        "nrm",
+        F.expr("aggregate(transform(q, x -> x * x), CAST(0 AS BIGINT), (a, x) -> a + x)"),
+    )
+    b = norms.withColumn(
+        "bucket", F.expr(f"CAST({_plane_expr('spark')} AS BIGINT)")
+    )
+    l = b.alias("l")
+    r = b.alias("r")
+    pairs = l.join(
+        r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.vec_id") < F.col("r.vec_id"))
+    ).select(
+        F.col("l.vec_id").alias("vec_a"),
+        F.col("r.vec_id").alias("vec_b"),
+        F.expr(
+            "aggregate(zip_with(l.q, r.q, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("dot"),
+        F.col("l.nrm").alias("na"),
+        F.col("r.nrm").alias("nb"),
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return pairs.withColumn("cosine", cos).filter(F.col("cosine") >= 0.35).select(
+        F.col("vec_a").cast("bigint"), F.col("vec_b").cast("bigint"), "cosine"
+    )
