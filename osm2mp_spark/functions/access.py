@@ -16,10 +16,11 @@ TRANSPORT_CLASSES = [
 ]
 
 # tag → affected-class mask, the Column-side analog of the reference's
-# per-tag mask table (TransportAccess.pm:83-104 semantics, values ours)
+# per-tag mask table (TransportAccess.pm:83-104 semantics, values ours).
+# bits: 0 emergency, 1 delivery, 2 car, 3 bus, 4 taxi, 5 foot, 6 bike, 7 truck
 TAG_MASKS = {
-    "motor_vehicle": 0b11011110,  # everything but foot
-    "vehicle": 0b11011110,
+    "motor_vehicle": 0b10011110,  # delivery car bus taxi truck
+    "vehicle": 0b11011110,  # motor_vehicle + bike
     "foot": 0b00100000,
     "bicycle": 0b01000000,
     "hgv": 0b10000000,
@@ -56,17 +57,19 @@ def tag_access_mask(tags_col: Column) -> Column:
     'no', cleared when it means 'yes' (later / more specific tags win by
     the iteration order below — generic `access` first, specific last,
     mirroring the reference's specificity order)."""
+    # linear fold: each step references the running mask ONCE —
+    # (mask | forbid_bits) & ~allow_bits — so the Catalyst expression grows
+    # linearly in the tag count (a when/when/otherwise nesting would copy
+    # the running mask 3× per tag → 3^n blowup)
     mask = F.lit(0)
     for tag in ["access", "vehicle", "motor_vehicle", "psv", "hgv", "bicycle", "foot"]:
         v = tags_col.getItem(tag)
         forbid = v.isin([k for k, no in _YESNO.items() if no])
         allow = v.isin([k for k, no in _YESNO.items() if not no])
         m = TAG_MASKS[tag]
-        mask = (
-            F.when(forbid, mask.bitwiseOR(F.lit(m)))
-            .when(allow, mask.bitwiseAND(F.lit(0xFF ^ m)))
-            .otherwise(mask)
-        )
+        forbid_bits = F.when(forbid, F.lit(m)).otherwise(F.lit(0))
+        keep_bits = F.when(allow, F.lit(0xFF ^ m)).otherwise(F.lit(0xFF))
+        mask = mask.bitwiseOR(forbid_bits).bitwiseAND(keep_bits)
     return mask
 
 

@@ -15,7 +15,8 @@ pyspark Column and (b) an equivalent ANSI-SQL string (used by the DuckDB
 oracle and by spark.sql users). Catalyst then gets plain boolean
 expressions — codegen, pushdown and CSE are free. Rule dispatch with
 all-match semantics is the union of per-rule filtered projections, or a
-single select of boolean match columns (`match_flags`).
+single select of boolean match columns (`match_flags`). `to_sql` emits the
+DuckDB-dialect oracle twin (not runnable through spark.sql).
 """
 
 from __future__ import annotations
@@ -37,9 +38,11 @@ class Cond:
     def to_column(self) -> Column:
         c = F.col(self.key) if self.key else None
         if self.kind == "eq":
-            return c == self.value
+            # ';'-separated multivalues match on ANY part (FeatureConfig.pm:87)
+            return F.array_contains(F.split(c, ";"), self.value)
         if self.kind == "ne":
-            return c.isNull() | (c != self.value)  # absent counts as "not value"
+            # absent counts as "not value"; multivalue: NO part equals it
+            return c.isNull() | ~F.array_contains(F.split(c, ";"), self.value)
         if self.kind == "exists":
             return c.isNotNull()
         if self.kind == "regex":
@@ -57,12 +60,15 @@ class Cond:
         raise ValueError(self.kind)
 
     def to_sql(self) -> str:
+        """DuckDB-dialect SQL (the oracle twin — NOT runnable in spark.sql:
+        REGEXP_MATCHES / LIST_CONTAINS are DuckDB names; the Spark side is
+        to_column)."""
         k = self.key
         v = self.value.replace("'", "''")
         if self.kind == "eq":
-            return f"({k} = '{v}')"
+            return f"LIST_CONTAINS(string_split({k}, ';'), '{v}')"
         if self.kind == "ne":
-            return f"({k} IS NULL OR {k} <> '{v}')"
+            return f"({k} IS NULL OR NOT LIST_CONTAINS(string_split({k}, ';'), '{v}'))"
         if self.kind == "exists":
             return f"({k} IS NOT NULL)"
         if self.kind == "regex":
@@ -158,6 +164,8 @@ class RuleSet:
         rule), carrying the rule's computed action attributes. Implemented as
         a union of per-rule filtered projections — Catalyst merges the scans
         and pushes each rule predicate down independently."""
+        if not self._rules:
+            raise ValueError("dispatch_all on an empty RuleSet")
         outs = []
         attrs = sorted({a for r in self._rules for a in r.actions})
         for r in self._rules:
@@ -178,6 +186,8 @@ class RuleSet:
 
     def dispatch_all_sql(self, from_clause: str, key_cols: list[str]) -> str:
         """The DuckDB-oracle twin of dispatch_all."""
+        if not self._rules:
+            raise ValueError("dispatch_all_sql on an empty RuleSet")
         attrs = sorted({a for r in self._rules for a in r.actions})
         selects = []
         for r in self._rules:

@@ -124,27 +124,57 @@ def merge_roads(
         .select("pred", "succ")
     )
 
-    # pointer doubling: parent(road) = predecessor, head = fixpoint parent
-    labels = (
-        roads.select("road_id")
-        .join(func.withColumnRenamed("succ", "road_id"), "road_id", "left")
-        .select("road_id", F.coalesce("pred", "road_id").alias("head"))
+    # Component labeling by min-road_id propagation over the UNDIRECTED
+    # functional graph — unlike predecessor-pointer chasing this also
+    # converges on CYCLES (roundabout loops of same-attr ways), where the
+    # canonical head is the cycle's smallest road_id (matches the oracle's
+    # break-at-min rule). Each round: take the min of own label and both
+    # neighbors' labels, then jump through the label (pointer doubling) —
+    # O(log chain-length) rounds.
+    und = func.unionByName(
+        func.select(F.col("succ").alias("pred"), F.col("pred").alias("succ"))
     )
+    labels = roads.select("road_id").withColumn("label", F.col("road_id"))
     for _ in range(max_rounds):
-        l2 = labels.select(
-            F.col("road_id").alias("h_road"), F.col("head").alias("h_head")
+        nb = (
+            labels.join(und, labels.road_id == und.pred, "inner")
+            .select(F.col("succ").alias("road_id"), F.col("label"))
         )
-        new = labels.join(
-            l2, F.col("head") == F.col("h_road"), "left"
-        ).select("road_id", F.coalesce("h_head", "head").alias("head"))
+        merged = (
+            labels.unionByName(nb)
+            .groupBy("road_id")
+            .agg(F.min("label").alias("label"))
+        )
+        l2 = merged.select(
+            F.col("road_id").alias("j_road"), F.col("label").alias("j_label")
+        )
+        new = merged.join(
+            l2, merged.label == l2.j_road, "left"
+        ).select("road_id", F.least("label", "j_label").alias("label"))
         new = new.localCheckpoint(eager=True)
         n_changed = (
             new.alias("n")
             .join(labels.alias("o"), "road_id")
-            .filter(F.col("n.head") != F.col("o.head"))
+            .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
         labels = new
         if n_changed == 0:
             break
-    return labels.withColumnRenamed("head", "head_id")
+    # head per component: the unique no-predecessor road (path start) when
+    # one exists, else the component's min label (cycle break point)
+    starts = (
+        labels.join(
+            func.select(F.col("succ").alias("road_id")).distinct(),
+            "road_id",
+            "left_anti",
+        )
+        .groupBy("label")
+        .agg(F.min("road_id").alias("head_id"))
+    )
+    return (
+        labels.join(starts, "label", "left")
+        .select(
+            "road_id", F.coalesce("head_id", "label").alias("head_id")
+        )
+    )

@@ -27,6 +27,17 @@ from ..geometry.kernels import points_in_ring, segment_intersection
 from ..oracle.reference import classify_lakes_islands_oracle, stitch_coastlines_oracle
 
 
+def _on_perimeter(p, bbox, eps: float = 1e-9) -> bool:
+    minlon, minlat, maxlon, maxlat = bbox
+    x, y = p
+    on_edge = (
+        abs(y - maxlat) < eps or abs(y - minlat) < eps
+        or abs(x - maxlon) < eps or abs(x - minlon) < eps
+    )
+    inside = minlon - eps <= x <= maxlon + eps and minlat - eps <= y <= maxlat + eps
+    return on_edge and inside
+
+
 def _perimeter_pos(p, bbox) -> float:
     """Position of a boundary point along the rect perimeter, clockwise from
     (minlon, maxlat) [NW corner]: top → right → bottom → left."""
@@ -140,10 +151,20 @@ def synthesize_water(chains: dict[str, list], bbox) -> dict:
     closed = [ch for ch in merged if ch[0] == ch[-1]]
     open_chains = [ch for ch in merged if ch[0] != ch[-1]]
 
-    # clip open chains to the boundary; collect runs with boundary endpoints
+    # clip open chains to the boundary; only runs with BOTH endpoints on the
+    # perimeter can be closed by boundary arcs — a coastline that ends
+    # strictly inside the map is incomplete data and is skipped, like the
+    # reference skips unclosable geometry (lib/OSM.pm:186 pattern)
     runs = []
+    incomplete = 0
     for ch in open_chains:
-        runs.extend(r for r in _clip_open_chain(ch, bbox) if len(r) >= 2)
+        for r in _clip_open_chain(ch, bbox):
+            if len(r) < 2:
+                continue
+            if _on_perimeter(r[0], bbox) and _on_perimeter(r[-1], bbox):
+                runs.append(r)
+            else:
+                incomplete += 1
 
     seas = []
     if runs:

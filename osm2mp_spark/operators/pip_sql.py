@@ -4,8 +4,8 @@ For CONVEX polygons, containment is a conjunction of edge cross-product
 signs — a plain Column predicate that whole-stage codegen turns into
 branch-free arithmetic. The planner (`pip_resolve_auto`) uses this lane when
 every polygon in the layer is convex (plus convex holes via strict-inside
-subtraction) and the layer is small enough to inline (≤ ~100 polygons ×
-edges); otherwise it falls back to the Arrow filter-refine lane
+subtraction) and the layer is TINY (≤4 polygons — see the measured codegen
+cliff below); otherwise it falls back to the Arrow filter-refine lane
 (operators.pip_join.pip_resolve), which handles arbitrary rings.
 
 Same canonical semantics as the kernel: on-edge counts inside (cross ≥ 0
@@ -85,22 +85,6 @@ def layer_is_convex(index: PolygonIndex) -> bool:
             if not is_convex(h):
                 return False
     return True
-
-
-def pip_resolve_sql_expr(index: PolygonIndex, lon: str, lat: str) -> str:
-    """CASE expression resolving smallest-wins containment for an all-convex
-    layer — candidates tested in canonical (area, area_id) rank order, so
-    the first true branch IS the smallest container."""
-    ranks = _area_ranks(index)
-    order = sorted(ranks.items(), key=lambda kv: kv[1])
-    whens = []
-    for aid, _r in order:
-        p = index.polygons[aid]
-        cond = convex_inside_sql(p.outers[0], lon, lat)
-        for h in p.inners:
-            cond += f" AND NOT {convex_inside_sql(h, lon, lat, strict=True)}"
-        whens.append(f"WHEN {cond} THEN '{aid}'")
-    return "CASE " + " ".join(whens) + " ELSE NULL END"
 
 
 def pip_resolve_auto(

@@ -143,16 +143,34 @@ def merge_roads_oracle(
                 succ.pop(claimed[b][1], None)
             claimed[b] = (c, a)
             succ[a] = b
-    # assemble chains: heads are roads that are nobody's successor
+    # assemble chains: heads are roads that are nobody's successor; a CYCLE
+    # of mergeable roads (e.g. a roundabout split into same-attr ways) has
+    # no such head — canonical rule: break the cycle at its smallest road_id
+    # (that road becomes the head), so loops merge deterministically instead
+    # of vanishing or spinning
     heads = [r for r in ids if r not in claimed]
     out: dict[str, list[str]] = {}
+    visited: set[str] = set()
     for h in heads:
         seq = [h]
+        visited.add(h)
         cur = h
         while cur in succ:
             cur = succ[cur]
             seq.append(cur)
+            visited.add(cur)
         out[h] = seq
+    for r in ids:  # sorted → the min id of each cycle is reached first
+        if r in visited:
+            continue
+        seq = [r]
+        visited.add(r)
+        cur = succ.get(r)
+        while cur is not None and cur != r:
+            seq.append(cur)
+            visited.add(cur)
+            cur = succ.get(cur)
+        out[r] = seq
     return out
 
 

@@ -132,11 +132,7 @@ def chain_split_barriers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FIX_DIST = 5.0  # degrees (scaled-up analog of fix_close_dist for scattered fixtures)
 
-_SEQ = (
-    "(CAST(l_linenumber AS BIGINT) * 1000000000000 "
-    "+ CAST(l_partkey AS BIGINT) * 1000000 + l_suppkey)"
-)
-_VKEY = "(CAST(l_partkey AS BIGINT) * 10 + l_linenumber)"
+from ..sources.points import LINEITEM_SEQ_SQL as _SEQ, LINEITEM_VKEY_SQL as _VKEY
 
 
 @register(

@@ -78,8 +78,8 @@ def self_intersect_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     pts = li.selectExpr(
         "CAST(l_orderkey AS BIGINT) AS chain_id",
-        "(CAST(l_linenumber AS BIGINT) * 1000000000000 "
-        "+ CAST(l_partkey AS BIGINT) * 1000000 + l_suppkey) AS seq",
+        __import__("osm2mp_spark.sources.points",
+                   fromlist=["LINEITEM_SEQ_SQL"]).LINEITEM_SEQ_SQL + " AS seq",
         f"{derived_lon_sql('l_partkey % 7')} AS lon",
         f"{derived_lat_sql('l_partkey % 7')} AS lat",
     )

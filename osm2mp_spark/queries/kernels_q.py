@@ -30,16 +30,13 @@ SELECT way_id, seq,
                  WHEN rawspeed >= 50 THEN 3 WHEN rawspeed >= 30 THEN 2
                  WHEN rawspeed >= 10 THEN 1 ELSE 0 END AS INT) AS speed_class
 FROM src
-""".format(seq="(CAST(l_linenumber AS BIGINT) * 1000000000000 "
-                "+ CAST(l_partkey AS BIGINT) * 1000000 + l_suppkey)"),
+""".format(seq=__import__("osm2mp_spark.sources.points", fromlist=["LINEITEM_SEQ_SQL"]).LINEITEM_SEQ_SQL),
 )
 def speed_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 — mph→km/h conversion (exact integer arithmetic) + the
     reference's speed-code threshold table (0,10,30,50,70,85,100,120)."""
-    seq = (
-        "(CAST(l_linenumber AS BIGINT) * 1000000000000 "
-        "+ CAST(l_partkey AS BIGINT) * 1000000 + l_suppkey)"
-    )
+    from ..sources.points import LINEITEM_SEQ_SQL as seq
+
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
         "CAST(l_orderkey AS BIGINT) AS way_id",
         f"{seq} AS seq",

@@ -10,10 +10,7 @@ from ..operators.tiles import grid_tile_expr, redistribute_nodes
 from ..sources.points import derived_lat_sql, derived_lon_sql
 from . import register
 
-_SEQ = (
-    "(CAST(l_linenumber AS BIGINT) * 1000000000000 "
-    "+ CAST(l_partkey AS BIGINT) * 1000000 + l_suppkey)"
-)
+from ..sources.points import LINEITEM_SEQ_SQL as _SEQ, LINEITEM_VKEY_SQL as _VK
 
 
 # ---------------------------------------------------------------------------
@@ -295,7 +292,7 @@ SELECT DISTINCT point_id, tile_id FROM (
 def tile_redistribute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J14 redistribution (splitter.pl:445-465): chains pull ALL their
     nodes into each of their tiles."""
-    vk = "(CAST(l_partkey AS BIGINT) * 10 + l_linenumber)"
+    vk = _VK
     pts = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
         "CAST(l_orderkey AS BIGINT) AS chain_id",
         f"{vk} AS point_id",

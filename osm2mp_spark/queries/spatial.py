@@ -60,16 +60,8 @@ _PTS_CTE = (
     "FROM customer)"
 )
 
-# lineitem chains: chain = order. The synthetic lineitem has duplicate
-# (l_orderkey, l_linenumber) pairs, so the vertex order key packs
-# (linenumber, partkey, suppkey) — unique per chain and identically
-# orderable in every engine. The vertex position derives from a
-# decorrelated per-row key.
-_SEQ = (
-    "(CAST(l_linenumber AS BIGINT) * 1000000000000 "
-    "+ CAST(l_partkey AS BIGINT) * 1000000 + l_suppkey)"
-)
-_VKEY = "(CAST(l_partkey AS BIGINT) * 10 + l_linenumber)"
+# lineitem chain keys: single source of truth in sources.points
+from ..sources.points import LINEITEM_SEQ_SQL as _SEQ, LINEITEM_VKEY_SQL as _VKEY
 
 
 def lineitem_chain_points(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -53,8 +53,24 @@ def with_derived_position(df: DataFrame, key_col: str, lon: str = "lon", lat: st
 
 
 def derived_points_np(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """numpy twin for oracles/tests — bit-identical to the SQL expressions."""
+    """numpy twin for oracles/tests — bit-identical to the SQL expressions
+    for ANY bigint key: np.fmod is truncation-mod (follows the dividend
+    sign), matching SQL `%`; numpy's `%` is floor-mod and would diverge on
+    negative keys."""
     k = np.asarray(keys, dtype=np.int64)
-    lon = -180.0 + (k % LON_MOD * LON_MULT % LON_MOD) / 10000.0
-    lat = -85.0 + (k % LAT_MOD * LAT_MULT % LAT_MOD) / 10000.0
+    lon = -180.0 + np.fmod(np.fmod(k, LON_MOD) * LON_MULT, LON_MOD) / 10000.0
+    lat = -85.0 + np.fmod(np.fmod(k, LAT_MOD) * LAT_MULT, LAT_MOD) / 10000.0
     return lon, lat
+
+
+# lineitem chain keys shared by every query/oracle that walks lineitem as
+# ordered chains: the synthetic data has duplicate (l_orderkey, l_linenumber)
+# pairs, so the vertex ORDER key packs (linenumber, partkey, suppkey) —
+# unique per chain; the vertex POSITION key is decorrelated from the chain.
+# Single source of truth — these appear verbatim inside oracle SQL strings,
+# so a drifted copy would silently desynchronize Spark vs DuckDB.
+LINEITEM_SEQ_SQL = (
+    "(CAST(l_linenumber AS BIGINT) * 1000000000000 "
+    "+ CAST(l_partkey AS BIGINT) * 1000000 + l_suppkey)"
+)
+LINEITEM_VKEY_SQL = "(CAST(l_partkey AS BIGINT) * 10 + l_linenumber)"

@@ -227,3 +227,80 @@ class TestSparkGraphOps:
             for rid in seq:
                 want[int(rid)] = int(head)
         assert got == want
+
+
+class TestReviewRegressions:
+    """Regression coverage for the round-1 code-review findings."""
+
+    def test_coastline_interior_endpoint_no_crash(self):
+        from osm2mp_spark.operators.coastlines import synthesize_water
+
+        # chain ends strictly inside the boundary → skipped, not a crash
+        water = synthesize_water(
+            {"c1": [(-100.0, 10.0), (-50.0, 5.0), (0.0, 0.0)]},
+            (-90.0, -45.0, 90.0, 45.0),
+        )
+        assert water["seas"] == []
+
+    def test_merge_oracle_cycle_breaks_at_min(self):
+        # two roads forming a smooth loop: octagon halves
+        import math
+
+        pts = [
+            (math.cos(math.radians(a)), math.sin(math.radians(a)))
+            for a in range(0, 360, 45)
+        ]
+        a = {"chain": pts[0:5], "attrs": "x"}
+        b = {"chain": pts[4:8] + [pts[0]], "attrs": "x"}
+        out = merge_roads_oracle({"ra": a, "rb": b})
+        assert out == {"ra": ["ra", "rb"]}
+
+    def test_merge_spark_cycle_matches_oracle(self, spark):
+        import math
+
+        from osm2mp_spark.operators.chains import merge_roads
+
+        pts = [
+            (math.cos(math.radians(a)), math.sin(math.radians(a)))
+            for a in range(0, 360, 45)
+        ]
+        rows = [
+            (1, "x", [{"lon": x, "lat": y} for x, y in pts[0:5]]),
+            (2, "x", [{"lon": x, "lat": y} for x, y in pts[4:8] + [pts[0]]]),
+        ]
+        df = spark.createDataFrame(
+            rows, "road_id bigint, attrs string, chain array<struct<lon:double,lat:double>>"
+        )
+        out = merge_roads(df).toPandas()
+        assert dict(zip(out.road_id, out.head_id)) == {1: 1, 2: 1}
+
+    def test_rules_multivalue_semicolon(self, spark):
+        from osm2mp_spark.functions.rules import cond_eq, cond_ne
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [("residential;service",), ("primary",), (None,)], "highway string"
+        )
+        eq = df.select(cond_eq("highway", "residential").to_column().alias("m")).collect()
+        assert [r.m for r in eq] == [True, False, None] or [r.m for r in eq] == [True, False, False]
+        ne = df.select(cond_ne("highway", "residential").to_column().alias("m")).collect()
+        assert [r.m for r in ne][:2] == [False, True]
+        assert [r.m for r in ne][2] in (True,)  # absent counts as "not value"
+
+    def test_derived_points_negative_keys_match_sql(self, spark, duck):
+        import numpy as np
+
+        from osm2mp_spark.sources.points import (
+            derived_lat_sql,
+            derived_lon_sql,
+            derived_points_np,
+        )
+
+        keys = np.array([-5, -123456, 7, 0])
+        lon_np, lat_np = derived_points_np(keys)
+        got = duck.sql(
+            f"SELECT {derived_lon_sql('k')} AS lon, {derived_lat_sql('k')} AS lat "
+            "FROM (SELECT UNNEST([-5, -123456, 7, 0]) AS k)"
+        ).df()
+        assert np.array_equal(lon_np, got.lon.to_numpy())
+        assert np.array_equal(lat_np, got.lat.to_numpy())

@@ -109,6 +109,10 @@ def main():
             print(f"FAIL {name} ({len(sdf)} spark rows / {len(odf)} oracle rows):")
             for i in issues[:5]:
                 print(f"     {i}")
+        elif len(sdf) == 0:
+            # a 0-row "exact match" proves nothing — surface it loudly
+            print(f"PASS? {name}: 0 rows on both sides — trivially matching "
+                  f"({time.time()-t0:.1f}s); make the fixture produce rows")
         else:
             print(f"PASS {name}: {len(sdf)} rows match exactly ({time.time()-t0:.1f}s)")
     print(f"\n{'ALL PASS' if not failed else 'FAILURES: ' + ', '.join(failed)}")
