@@ -15,7 +15,10 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..oracle.reference import self_intersection_splits_oracle
+from ..oracle.reference import (
+    self_intersection_breaks_oracle,
+    split_parts_from_breaks,
+)
 
 
 def split_self_intersections(
@@ -24,9 +27,18 @@ def split_self_intersections(
     seq_col: str = "seq",
     lon: str = "lon",
     lat: str = "lat",
+    node_col: str | None = None,
+    max_road_nodes: int | None = None,
 ) -> DataFrame:
-    """W1 (osm2mp.pl:725-743): split a chain whenever a vertex repeats an
-    earlier vertex since the last break. Output adds part_no per row.
+    """W1 (osm2mp.pl:715-756): split a chain using the reference break rule
+    — non-immediate repeats break at the last routing node (`$prev`),
+    immediate repeats at the midpoint `(i + prev) >> 1`. Adjacent parts
+    SHARE the break vertex (osm2mp.pl:770-775): break rows are emitted
+    twice, once closing part k and once opening part k+1, so per-part
+    chains stay topologically connected. Output adds part_no per row.
+
+    `node_col`: optional boolean column marking routing nodes (the
+    reference's %nodid — junction vertices); None = every vertex.
 
     Executes via grouped_map_in_pandas — one Python transition per Arrow
     batch instead of per chain (chains are tiny, there are millions)."""
@@ -36,22 +48,42 @@ def split_self_intersections(
 
     def split(pdf: pd.DataFrame) -> pd.DataFrame:
         coords = list(zip(pdf[lon], pdf[lat]))
-        starts = self_intersection_splits_oracle(coords)
-        part = []
-        p = 0
-        k = 0
-        for i in range(len(coords)):
-            if k < len(starts) and i == starts[k]:
-                p += 1
-                k += 1
-            part.append(p)
+        routing = None
+        if node_col is not None:
+            flags = pdf[node_col].to_numpy()
+            routing = {coords[i] for i in range(len(coords)) if flags[i]}
+        # the reference RE-SPLITS new parts (osm2mp.pl:713 iterates a
+        # growing @roadids; :772 pushes parts back) — a part may still
+        # self-intersect when the break lands before the repeated vertex.
+        # Guard: a child spanning its whole parent is kept as-is (the
+        # reference would loop forever on e.g. a duplicated first vertex).
+        done: list[list[int]] = []
+        work: list[list[int]] = [list(range(len(coords)))]
+        while work:
+            idxs = work.pop()
+            sub = [coords[j] for j in idxs]
+            breaks = self_intersection_breaks_oracle(
+                sub, routing_nodes=routing, max_road_nodes=max_road_nodes
+            )
+            if not breaks:
+                done.append(idxs)
+                continue
+            for s, e in split_parts_from_breaks(len(sub), breaks):
+                child = idxs[s : e + 1]
+                (done if len(child) >= len(idxs) else work).append(child)
+        done.sort(key=lambda ix: (ix[0], ix[-1]))
+        idx: list[int] = []
+        part: list[int] = []
+        for p, idxs in enumerate(done):
+            idx.extend(idxs)
+            part.extend([p] * len(idxs))
         return pd.DataFrame(
             {
-                chain_col: pdf[chain_col].to_numpy(),
+                chain_col: pdf[chain_col].to_numpy()[idx],
                 "part_no": part,
-                seq_col: pdf[seq_col].to_numpy(),
-                lon: pdf[lon].to_numpy(),
-                lat: pdf[lat].to_numpy(),
+                seq_col: pdf[seq_col].to_numpy()[idx],
+                lon: pdf[lon].to_numpy()[idx],
+                lat: pdf[lat].to_numpy()[idx],
             }
         )
 

@@ -19,7 +19,81 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..spatial.bsp import BSPTileTree
+from ..spatial.bsp import BSPTileTree, LAT_CELL, LON_CELL
+
+
+def spark_density_histogram(
+    df: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    lat_cell: float = LAT_CELL,
+    lon_cell: float = LON_CELL,
+):
+    """A4 density histogram computed BY SPARK, collected to the driver as
+    numpy arrays (_old/splitter.pl:104-143). The collect is O(occupied
+    cells) — bounded by the grid (≲38M cells worldwide at the default cell
+    size, typically thousands), never O(rows). Per-cell raw min/max ride the
+    same single aggregation so the exact point bbox costs no extra job.
+
+    Returns (cell_ix, cell_iy, counts, bbox) ready for
+    spatial.bsp.build_bsp_tiles_from_histogram."""
+    import numpy as np
+
+    rows = (
+        df.groupBy(
+            F.floor(F.col(lon) / F.lit(lon_cell)).alias("__ix"),
+            F.floor(F.col(lat) / F.lit(lat_cell)).alias("__iy"),
+        )
+        .agg(
+            F.count("*").alias("__n"),
+            F.min(lon).alias("__lo_lon"),
+            F.min(lat).alias("__lo_lat"),
+            F.max(lon).alias("__hi_lon"),
+            F.max(lat).alias("__hi_lat"),
+        )
+        .collect()
+    )
+    if not rows:
+        return (
+            np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int64),
+            (-180.0, -90.0, 180.0, 90.0),
+        )
+    ix = np.array([r["__ix"] for r in rows], dtype=np.int64)
+    iy = np.array([r["__iy"] for r in rows], dtype=np.int64)
+    n = np.array([r["__n"] for r in rows], dtype=np.int64)
+    bbox = (
+        min(r["__lo_lon"] for r in rows),
+        min(r["__lo_lat"] for r in rows),
+        max(r["__hi_lon"] for r in rows),
+        max(r["__hi_lat"] for r in rows),
+    )
+    return ix, iy, n, bbox
+
+
+def build_bsp_tiles_spark(
+    df: DataFrame,
+    max_tile_nodes: int | None = None,
+    lon: str = "lon",
+    lat: str = "lat",
+    lat_cell: float = LAT_CELL,
+    lon_cell: float = LON_CELL,
+    nodes_per_tile_frac: int = 64,
+    min_tile_nodes: int = 64,
+):
+    """Scale-path BSP build: Spark computes the histogram, the driver builds
+    the (tiny) tree from cell counts — no raw points ever leave the
+    executors. Default max_tile_nodes = total/nodes_per_tile_frac
+    (≥ min_tile_nodes)."""
+    from ..spatial.bsp import build_bsp_tiles_from_histogram
+
+    ix, iy, n, bbox = spark_density_histogram(
+        df, lon=lon, lat=lat, lat_cell=lat_cell, lon_cell=lon_cell
+    )
+    if max_tile_nodes is None:
+        max_tile_nodes = max(min_tile_nodes, int(n.sum()) // nodes_per_tile_frac)
+    return build_bsp_tiles_from_histogram(
+        ix, iy, n, max_tile_nodes, lat_cell=lat_cell, lon_cell=lon_cell, bbox=bbox
+    )
 
 
 def grid_tile_expr(lon: str, lat: str, nx: int = 16, ny: int = 16) -> str:

@@ -6,7 +6,7 @@ implements, straight from the survey's semantic description (citations into
 deterministic variant of an operator the Spark engine must match:
 
 - stitch_rings_oracle            G1  multipolygon assembly (lib/OSM.pm:133-194)
-- self_intersection_splits_oracle W1 chain self-intersection (osm2mp.pl:725-743)
+- self_intersection_breaks_oracle W1/W2/W3 chain break rule (osm2mp.pl:715-756)
 - merge_roads_oracle             I1  road merging fixpoint (osm2mp.pl:596-661)
 - stitch_coastlines_oracle       G10 coastline stitching (lib/Coastlines.pm:50-99)
 - classify_lakes_islands_oracle  G12 lake/island nesting (lib/Coastlines.pm:198-241)
@@ -71,31 +71,71 @@ def stitch_rings_oracle(members: list[tuple[str, list]]) -> dict | None:
     return out
 
 
-def self_intersection_splits_oracle(pts: list[tuple]) -> list[int]:
-    """Indices at which a chain must be split because a vertex repeats an
-    earlier vertex since the last break (osm2mp.pl:725-743). Canonical rule
-    (FIXTURES.md): on a repeat at index i of vertex seen at j >= break_start:
-    split AT i (new part starts at i); if the repeat is immediate (j == i-1),
-    split BETWEEN them (new part starts at i, previous part ends at i-1 —
-    same index, so the split list is identical; the difference is only that
-    the shared vertex is not duplicated into both parts).
+def self_intersection_breaks_oracle(
+    pts: list[tuple],
+    routing_nodes: set | None = None,
+    max_road_nodes: int | None = None,
+    barriers: set | None = None,
+) -> list[int]:
+    """Break indices for the reference's road-splitting loop
+    (osm2mp.pl:715-756), covering W1 self-intersection, W2 max-road-nodes
+    and W3 barrier breaks with their interacting state. Faithful rule:
 
-    Returns the list of part-start indices (excluding 0).
+    - `routing_nodes` is the reference's %nodid set (junction/crossroad
+      vertices); `prev` tracks the LAST routing-node index seen.
+      None (default) = every vertex is a routing node (the canonical
+      standalone-chain variant: prev is always i-1).
+    - vertex at i repeats one seen since the last break (osm2mp.pl:725):
+      non-immediate repeat (pts[i] != pts[prev]) breaks at `prev`
+      (:727-729); immediate repeat breaks at midpoint (i + prev) >> 1 and
+      the midpoint vertex becomes a routing node (:731-737).
+    - `rnod` (routing nodes since last break) hitting 1 + max_road_nodes
+      breaks at `prev` (:743-747); an interior barrier vertex breaks at
+      itself (:749-755).
+
+    Split parts SHARE the break vertex: part k spans
+    pts[B[k] .. B[k+1]] inclusive, where B = [0] + breaks + [len-1]
+    (osm2mp.pl:770-775 slices chain[breaks[i]..breaks[i+1]]).
     """
-    splits: list[int] = []
-    seen: dict[tuple, int] = {}
-    start = 0
-    i = 0
-    while i < len(pts):
-        p = tuple(pts[i])
-        if p in seen and seen[p] >= start:
-            splits.append(i)
-            start = i
-            seen = {p: i}
-        else:
-            seen[p] = i
-        i += 1
-    return splits
+    pts = [tuple(p) for p in pts]
+    # NB: a passed-in set is mutated in place (midpoint breaks add routing
+    # nodes, osm2mp.pl:736-737) so recursive re-splits see the additions
+    nodid = set(pts) if routing_nodes is None else routing_nodes
+    barrier_set = {tuple(p) for p in (barriers or ())}
+    breaks: list[int] = []
+    brk = 0
+    rnod = 1
+    prev = 0
+    for i in range(1, len(pts)):
+        cnode = pts[i]
+        if cnode in nodid:
+            rnod += 1
+        if cnode in set(pts[brk:i]):
+            if cnode != pts[prev]:
+                brk = prev
+            else:
+                brk = (i + prev) >> 1
+                nodid.add(pts[brk])
+            breaks.append(brk)
+            rnod = 2
+        elif max_road_nodes is not None and rnod == 1 + max_road_nodes:
+            brk = prev
+            breaks.append(brk)
+            rnod = 2
+        elif i < len(pts) - 1 and cnode in barrier_set:
+            brk = i
+            breaks.append(brk)
+            rnod = 1
+        if cnode in nodid:
+            prev = i
+    return breaks
+
+
+def split_parts_from_breaks(n: int, breaks: list[int]) -> list[tuple[int, int]]:
+    """(start, end) inclusive index spans of the split parts — adjacent
+    parts share the break vertex (osm2mp.pl:770-775, 814)."""
+    bounds = [0] + list(breaks) + [n - 1]
+    return [(bounds[k], bounds[k + 1]) for k in range(len(bounds) - 1)]
 
 
 def merge_roads_oracle(

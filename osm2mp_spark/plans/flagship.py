@@ -17,14 +17,19 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.knn import knn_bruteforce
 from ..operators.pip_join import pip_join
-from ..operators.tiles import assign_tiles_bsp, assign_tiles_grid
+from ..operators.tiles import (
+    assign_tiles_bsp,
+    assign_tiles_grid,
+    build_bsp_tiles_spark,
+)
 from ..sources.layers import CITIES, city_polygons
-from ..sources.points import derived_points_np, with_derived_position
-from ..spatial.bsp import build_bsp_tiles
+from ..sources.points import with_derived_position
 from ..spatial.index import PolygonIndex
 
 
 from functools import lru_cache
+
+_TREE_CACHE: dict = {}
 
 
 @lru_cache(maxsize=1)
@@ -32,16 +37,21 @@ def _city_index_cached() -> PolygonIndex:
     return PolygonIndex(city_polygons())
 
 
-@lru_cache(maxsize=1)
-def _bsp_tree_cached():
-    """BSP over the deterministic histogram of the position generator
-    (driver-side; tiny). Cached — rebuilding it per job call would put a
-    constant driver cost inside every throughput measurement."""
-    import numpy as np
-
-    keys = np.arange(1, 200_001) * 10
-    lons, lats = derived_points_np(keys)
-    return build_bsp_tiles(lons, lats, max_tile_nodes=4000)
+def _bsp_tree_cached(spark):
+    """BSP over the Spark-computed A4 histogram of a fixed 200k-key sample
+    of the position generator (the tile MODEL — like the reference
+    splitter, the tree is built once from a density pass, then reused).
+    Cached per process — rebuilding it per job call would put a constant
+    cost inside every throughput measurement. No raw points touch the
+    driver: Spark aggregates cells, the driver sees O(cells)."""
+    key = "flagship_model_tree"
+    if key not in _TREE_CACHE:
+        sample = with_derived_position(
+            spark.range(1, 200_001).selectExpr("id * 10 AS point_id"),
+            "point_id",
+        )
+        _TREE_CACHE[key] = build_bsp_tiles_spark(sample, max_tile_nodes=4000)
+    return _TREE_CACHE[key]
 
 
 def flagship_points(pts: DataFrame) -> DataFrame:
@@ -55,7 +65,9 @@ def flagship_points(pts: DataFrame) -> DataFrame:
     # ONE Arrow pass does PIP smallest-wins + BSP tile descent (operator
     # fusion at the UDF level — halves Python round-trips vs two stages);
     # the kNN fallback is a pure JVM expression coalesced on top.
-    both = pip_bsp_fused(pts, idx, _bsp_tree_cached(), area_col="__pip_city")
+    both = pip_bsp_fused(
+        pts, idx, _bsp_tree_cached(pts.sparkSession), area_col="__pip_city"
+    )
     anchors = [(c["area_id"], c["center"][0], c["center"][1]) for c in CITIES]
     with_nn = knn_bruteforce(both, anchors, out_id="__nn_city").drop("dist_sq")
     unioned = with_nn.withColumn(
@@ -112,15 +124,10 @@ def flagship(
     )
 
     if use_bsp:
-        # build the BSP on the deterministic position generator (driver-side
-        # histogram — tiny), then broadcast-descend per row
-        import numpy as np
-
-        n = cust.count()
-        keys = np.arange(1, n + 1)
-        lons, lats = derived_points_np(keys)
-        tree = build_bsp_tiles(
-            lons, lats, max_tile_nodes=max_tile_nodes or max(64, n // 64)
+        # BSP from the SPARK density histogram (A4) — the driver sees only
+        # O(occupied cells), never the points (_old/splitter.pl:104-143)
+        tree = build_bsp_tiles_spark(
+            pts, max_tile_nodes=max_tile_nodes, nodes_per_tile_frac=64
         )
         return assign_tiles_bsp(unioned, tree)
     return assign_tiles_grid(unioned)

@@ -38,7 +38,7 @@ def flagship_images(spark: SparkSession, images_path: str) -> DataFrame:
 
     ensure_shipped(spark)
     idx = _city_index_cached()
-    tree = _bsp_tree_cached()
+    tree = _bsp_tree_cached(spark)
     grids = dense_mask_grids(idx)
     b = spark.sparkContext.broadcast((idx, grids, tree))
     anchors = [(c["area_id"], c["center"][0], c["center"][1]) for c in CITIES]

@@ -19,8 +19,7 @@ from ..operators.chains import merge_roads, split_self_intersections
 from ..operators.coastlines import synthesize_water
 from ..operators.rings import assemble_rings
 from ..operators.tiles import assign_tiles_bsp
-from ..sources.points import derived_lat_sql, derived_lon_sql, derived_points_np
-from ..spatial.bsp import build_bsp_tiles
+from ..sources.points import derived_lat_sql, derived_lon_sql
 from . import register
 
 
@@ -142,22 +141,19 @@ def sea_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("bsp_tiles")
 def bsp_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """I3/J13 — build the BSP tile tree from the deterministic position
-    generator (driver-side √count-weighted splits over the density
-    histogram), broadcast it, assign every customer point, count per tile.
-    Byte-identical at any parallelism (BASELINE.md determinism check)."""
-    import numpy as np
-
+    """I3/J13 — build the BSP tile tree from the SPARK A4 density histogram
+    (√count-weighted splits over cell counts; the driver sees O(cells),
+    never raw points — _old/splitter.pl:104-143), broadcast it, assign
+    every customer point, count per tile. Byte-identical at any
+    parallelism (BASELINE.md determinism check)."""
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         F.col("c_custkey").cast("bigint").alias("point_id")
     )
+    from ..operators.tiles import build_bsp_tiles_spark
     from ..sources.points import with_derived_position
 
     pts = with_derived_position(cust, "point_id")
-    n = cust.count()
-    keys = np.arange(1, n + 1)
-    lons, lats = derived_points_np(keys)
-    tree = build_bsp_tiles(lons, lats, max_tile_nodes=max(32, n // 32))
+    tree = build_bsp_tiles_spark(pts, nodes_per_tile_frac=32, min_tile_nodes=32)
     return (
         assign_tiles_bsp(pts, tree)
         .groupBy("tile_id")

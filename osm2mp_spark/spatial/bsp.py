@@ -130,20 +130,65 @@ def build_bsp_tiles(
     lon_cell: float = LON_CELL,
     shrink: bool = True,
 ) -> BSPTileTree:
-    """Driver-side recursive BSP over the density histogram.
-
-    Deterministic: splits always process the larger-first ordering implied by
-    recursion over a deterministic histogram; ties in the weighted centroid
-    resolve by cell order. Split value snaps to cell edges (the reference
-    splits on the histogram grid)."""
+    """Raw-point convenience wrapper for tests/oracles: histogram the points
+    driver-side, then delegate to `build_bsp_tiles_from_histogram`. At scale
+    the histogram comes from Spark (A4 aggregation) — never materialize raw
+    points on the driver; see operators.tiles.build_bsp_tiles_spark."""
     lons = np.asarray(lons, dtype=np.float64)
     lats = np.asarray(lats, dtype=np.float64)
     ix = np.floor(lons / lon_cell).astype(np.int64)
     iy = np.floor(lats / lat_cell).astype(np.int64)
     key = (ix + _OFF) * _MOD + (iy + _OFF)
     uniq, counts = np.unique(key, return_counts=True)
-    cx = (uniq // _MOD - _OFF).astype(np.float64)
-    cy = (uniq % _MOD - _OFF).astype(np.float64)
+    bbox = (
+        float(lons.min()) if len(lons) else -180.0,
+        float(lats.min()) if len(lats) else -90.0,
+        float(lons.max()) if len(lons) else 180.0,
+        float(lats.max()) if len(lats) else 90.0,
+    )
+    return build_bsp_tiles_from_histogram(
+        uniq // _MOD - _OFF,
+        uniq % _MOD - _OFF,
+        counts,
+        max_tile_nodes,
+        lat_cell=lat_cell,
+        lon_cell=lon_cell,
+        shrink=shrink,
+        bbox=bbox,
+    )
+
+
+def build_bsp_tiles_from_histogram(
+    cell_ix: np.ndarray,
+    cell_iy: np.ndarray,
+    cell_counts: np.ndarray,
+    max_tile_nodes: int,
+    lat_cell: float = LAT_CELL,
+    lon_cell: float = LON_CELL,
+    shrink: bool = True,
+    bbox: tuple[float, float, float, float] | None = None,
+) -> BSPTileTree:
+    """Driver-side recursive BSP over a density histogram — the scale path
+    (_old/splitter.pl:104-143,208-301: histogram → recursive split). The
+    input is O(occupied cells), never O(points): at 10^12 rows the Spark A4
+    aggregation reduces to at most 180/lon_cell × 170/lat_cell cells.
+
+    Deterministic: cells are processed in sorted (ix, iy) order; ties in the
+    weighted centroid resolve by cell order. Split value snaps to cell edges
+    (the reference splits on the histogram grid). `bbox` (raw point extent,
+    from a Spark min/max agg) only tightens the root box; split values —
+    hence tile assignment — depend on cell edges alone."""
+    order = np.lexsort((np.asarray(cell_iy), np.asarray(cell_ix)))
+    cx = np.asarray(cell_ix, dtype=np.float64)[order]
+    cy = np.asarray(cell_iy, dtype=np.float64)[order]
+    counts = np.asarray(cell_counts, dtype=np.int64)[order]
+    if bbox is None:
+        bbox = (
+            float(cx.min()) * lon_cell if len(cx) else -180.0,
+            float(cy.min()) * lat_cell if len(cy) else -90.0,
+            (float(cx.max()) + 1) * lon_cell if len(cx) else 180.0,
+            (float(cy.max()) + 1) * lat_cell if len(cy) else 90.0,
+        )
 
     next_id = [0]
 
@@ -188,13 +233,7 @@ def build_bsp_tiles(
         node.right = split(rm, (sv, minlat, maxlon, maxlat) if axis == 0 else (minlon, sv, maxlon, maxlat))
         return node
 
-    all_mask = np.ones(len(uniq), dtype=bool)
-    bbox = (
-        float(lons.min()) if len(lons) else -180.0,
-        float(lats.min()) if len(lats) else -90.0,
-        float(lons.max()) if len(lons) else 180.0,
-        float(lats.max()) if len(lats) else 90.0,
-    )
+    all_mask = np.ones(len(cx), dtype=bool)
     root = split(all_mask, bbox)
     tree = BSPTileTree(root)
     # renumber leaves in canonical (minlon asc, minlat desc) order

@@ -35,21 +35,50 @@ def _bucket_col(key_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
 
-def _check_meta(out_dir: str, key_col: str, n_buckets: int) -> None:
-    """A checkpoint dir is bound to one (key_col, n_buckets) layout — a rerun
-    with different bucketing would silently mis-skip colliding bucket ids."""
+def input_fingerprint(df: DataFrame) -> str:
+    """Stable fingerprint of the job INPUT: sorted source file list + output
+    schema. Resuming into an out_dir written from a different input must
+    fail loudly, not silently keep stale buckets. (Frames with no file
+    sources — range/memory — fingerprint on schema alone.)"""
+    import hashlib
+
+    basis = json.dumps(
+        {"files": sorted(df.inputFiles()), "schema": df.schema.simpleString()}
+    )
+    return hashlib.sha256(basis.encode()).hexdigest()[:16]
+
+
+def _attempt_tmp(path: str) -> str:
+    """Per-attempt tmp name: speculative / retried tasks must never
+    interleave writes into one shared tmp file before the atomic rename."""
+    import uuid
+
+    return f"{path}.{os.getpid()}-{uuid.uuid4().hex[:8]}.tmp"
+
+
+def _check_meta(
+    out_dir: str, key_col: str, n_buckets: int, fingerprint: str
+) -> None:
+    """A checkpoint dir is bound to one (key_col, n_buckets, input) triple —
+    a rerun with different bucketing would silently mis-skip colliding
+    bucket ids, and a rerun over different input would keep stale buckets."""
     meta_path = os.path.join(out_dir, "manifest", "_meta.json")
-    meta = {"key_col": key_col, "n_buckets": n_buckets}
+    meta = {
+        "key_col": key_col,
+        "n_buckets": n_buckets,
+        "input_fingerprint": fingerprint,
+    }
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             found = json.load(f)
         if found != meta:
             raise ValueError(
                 f"checkpoint dir {out_dir} was written with {found}, "
-                f"got {meta}; use a fresh out_dir to change the layout"
+                f"got {meta}; use a fresh out_dir to change the layout "
+                f"or input"
             )
     else:
-        tmp = meta_path + ".tmp"
+        tmp = _attempt_tmp(meta_path)
         with open(tmp, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, meta_path)
@@ -70,7 +99,8 @@ def checkpointed_write(
     ensure_shipped(df.sparkSession)
     os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "data"), exist_ok=True)
-    _check_meta(out_dir, key_col, n_buckets)
+    fingerprint = input_fingerprint(df)
+    _check_meta(out_dir, key_col, n_buckets, fingerprint)
     bucketed = df.withColumn("__bucket", _bucket_col(key_col, n_buckets)).repartition(
         n_buckets, "__bucket"
     )
@@ -91,7 +121,7 @@ def checkpointed_write(
                     continue
                 t0 = time.time()
                 dpath = os.path.join(out_dir, "data", f"part-{bucket:05d}.parquet")
-                tmp = dpath + ".tmp"
+                tmp = _attempt_tmp(dpath)
                 grp[schema_cols].to_parquet(tmp, index=False)
                 os.replace(tmp, dpath)
                 dt = time.time() - t0
@@ -101,11 +131,12 @@ def checkpointed_write(
                     "key_col": key_col,
                     "key_min": str(grp[key_col].min()),
                     "key_max": str(grp[key_col].max()),
+                    "input_fingerprint": fingerprint,
                     "secs": round(dt, 4),
                     "rows_per_sec": round(len(grp) / dt, 1) if dt > 0 else None,
                     "finished_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
                 }
-                mtmp = mpath + ".tmp"
+                mtmp = _attempt_tmp(mpath)
                 with open(mtmp, "w") as f:
                     json.dump(rec, f)
                 os.replace(mtmp, mpath)
@@ -146,7 +177,7 @@ def resume_remaining(
     resume anti-join)."""
     mdir = os.path.join(out_dir, "manifest")
     if os.path.isdir(mdir):
-        _check_meta(out_dir, key_col, n_buckets)
+        _check_meta(out_dir, key_col, n_buckets, input_fingerprint(df))
         done = [
             int(fn[:-5])
             for fn in os.listdir(mdir)

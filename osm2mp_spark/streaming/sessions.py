@@ -80,8 +80,15 @@ def sessionize_stream(spark, events_dir: str, schema) -> DataFrame:
         last_us, session_no = (
             state.get if state.exists else (None, 0)
         )
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # concat ALL Arrow chunks of the micro-batch BEFORE sorting: a
+        # user's events may straddle chunks, and per-chunk sorting would
+        # process them out of global time order (last_us going backwards
+        # diverges from the batch twin)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
             for r in pdf.itertuples():
                 cur = int(r.ts.value // 1000)  # pandas ns → µs
                 if last_us is None or cur - last_us > SESSION_GAP_US:

@@ -131,3 +131,67 @@ class TestBSP:
             minlon, minlat, maxlon, maxlat = boxes[int(tid[i])]
             assert minlon - 1e-9 <= lons[i] <= maxlon + 1e-9
             assert minlat - 1e-9 <= lats[i] <= maxlat + 1e-9
+
+
+class TestBSPFromHistogram:
+    """The 100 TB path: the tree must be buildable from the A4 histogram
+    alone (O(cells) driver input), identically to the raw-point build."""
+
+    def test_histogram_build_identical_to_raw(self):
+        lons = rng.uniform(-20, 20, 8000)
+        lats = rng.uniform(-10, 10, 8000)
+        from osm2mp_spark.spatial.bsp import (
+            build_bsp_tiles_from_histogram,
+            density_histogram,
+        )
+
+        raw_tree = build_bsp_tiles(lons, lats, max_tile_nodes=500)
+        ix, iy, counts = density_histogram(lons, lats)
+        bbox = (lons.min(), lats.min(), lons.max(), lats.max())
+        h_tree = build_bsp_tiles_from_histogram(
+            ix, iy, counts, max_tile_nodes=500, bbox=bbox
+        )
+        assert np.array_equal(raw_tree.assign(lons, lats), h_tree.assign(lons, lats))
+        assert raw_tree.leaves() == h_tree.leaves()
+
+    def test_histogram_build_shuffled_input_deterministic(self):
+        # histogram rows arrive from Spark in arbitrary partition order —
+        # the build must canonicalize (sorted cell order)
+        lons = rng.uniform(-20, 20, 4000)
+        lats = rng.uniform(-10, 10, 4000)
+        from osm2mp_spark.spatial.bsp import (
+            build_bsp_tiles_from_histogram,
+            density_histogram,
+        )
+
+        ix, iy, counts = density_histogram(lons, lats)
+        bbox = (lons.min(), lats.min(), lons.max(), lats.max())
+        t1 = build_bsp_tiles_from_histogram(ix, iy, counts, 300, bbox=bbox)
+        perm = rng.permutation(len(ix))
+        t2 = build_bsp_tiles_from_histogram(
+            ix[perm], iy[perm], counts[perm], 300, bbox=bbox
+        )
+        assert t1.leaves() == t2.leaves()
+        assert np.array_equal(t1.assign(lons, lats), t2.assign(lons, lats))
+
+    def test_spark_histogram_matches_numpy(self, spark):
+        from osm2mp_spark.operators.tiles import spark_density_histogram
+        from osm2mp_spark.sources.points import (
+            derived_points_np,
+            with_derived_position,
+        )
+
+        df = with_derived_position(
+            spark.range(1, 2001).selectExpr("id AS point_id"), "point_id"
+        )
+        s_ix, s_iy, s_n, s_bbox = spark_density_histogram(df)
+        keys = np.arange(1, 2001)
+        lons, lats = derived_points_np(keys)
+        from osm2mp_spark.spatial.bsp import density_histogram
+
+        n_ix, n_iy, n_n = density_histogram(lons, lats)
+        order = np.lexsort((s_iy, s_ix))
+        assert np.array_equal(s_ix[order], n_ix)
+        assert np.array_equal(s_iy[order], n_iy)
+        assert np.array_equal(s_n[order], n_n)
+        assert s_bbox == (lons.min(), lats.min(), lons.max(), lats.max())

@@ -133,3 +133,32 @@ class TestStatefulSessionize:
         assert len(got) == len(batch)
         for c in ["user_id", "session_no", "n_events", "start_us", "end_us"]:
             assert (got[c].to_numpy() == batch[c].to_numpy()).all(), c
+
+
+class TestCheckpointLineage:
+    def test_changed_input_rejected(self, spark, tmp_path):
+        from osm2mp_spark.streaming.checkpoint import checkpointed_write
+
+        a = str(tmp_path / "in_a")
+        b = str(tmp_path / "in_b")
+        spark.range(100).selectExpr("id AS k", "id * 2 AS v").write.parquet(a)
+        spark.range(100).selectExpr("id AS k", "id * 3 AS v").write.parquet(b)
+        out = str(tmp_path / "ckpt")
+        checkpointed_write(spark.read.parquet(a), out, "k", n_buckets=4)
+        with pytest.raises(ValueError, match="fingerprint"):
+            checkpointed_write(spark.read.parquet(b), out, "k", n_buckets=4)
+
+    def test_manifest_records_fingerprint(self, spark, tmp_path):
+        from osm2mp_spark.streaming.checkpoint import (
+            checkpointed_write,
+            input_fingerprint,
+            read_manifest,
+        )
+
+        src = str(tmp_path / "src")
+        spark.range(50).selectExpr("id AS k").write.parquet(src)
+        df = spark.read.parquet(src)
+        out = str(tmp_path / "ckpt2")
+        checkpointed_write(df, out, "k", n_buckets=2)
+        man = read_manifest(spark, out).toPandas()
+        assert set(man.input_fingerprint) == {input_fingerprint(df)}

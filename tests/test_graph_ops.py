@@ -7,7 +7,8 @@ import pytest
 from osm2mp_spark.oracle.reference import (
     classify_lakes_islands_oracle,
     merge_roads_oracle,
-    self_intersection_splits_oracle,
+    self_intersection_breaks_oracle,
+    split_parts_from_breaks,
     stitch_coastlines_oracle,
     stitch_rings_oracle,
 )
@@ -45,25 +46,50 @@ class TestRingOracle:
 
 class TestSelfIntersectOracle:
     def test_no_repeat(self):
-        assert self_intersection_splits_oracle([(0, 0), (1, 0), (2, 0)]) == []
+        assert self_intersection_breaks_oracle([(0, 0), (1, 0), (2, 0)]) == []
 
-    def test_figure_eight(self):
-        # revisits (1,0) at index 3
+    def test_figure_eight_breaks_at_prev(self):
+        # revisits (1,0) at index 3; non-immediate repeat → break at prev
+        # (all vertices routing ⇒ prev = 2), osm2mp.pl:727-729
         pts = [(0, 0), (1, 0), (1, 1), (1, 0), (2, 0)]
-        assert self_intersection_splits_oracle(pts) == [3]
+        assert self_intersection_breaks_oracle(pts) == [2]
 
-    def test_immediate_repeat(self):
+    def test_immediate_repeat_midpoint(self):
+        # pts[2] == pts[1] (immediate) → break at (i+prev)>>1 = (2+1)>>1 = 1
+        # (osm2mp.pl:731-737)
         pts = [(0, 0), (1, 0), (1, 0), (2, 0)]
-        assert self_intersection_splits_oracle(pts) == [2]
+        assert self_intersection_breaks_oracle(pts) == [1]
 
-    def test_repeat_across_break_no_split(self):
-        # after a break the seen-set resets — a vertex from before the
-        # break does not trigger another split
+    def test_zigzag_breaks_twice(self):
+        # A-B-A-B: i=2 repeats A (prev=1 → break 1); window restarts at 1,
+        # i=3 repeats B at index 1 ≥ break (prev=2 → break 2)
         pts = [(0, 0), (1, 0), (0, 0), (1, 0)]
-        # index 2 repeats (0,0) -> split at 2; index 3 repeats (1,0) which
-        # was seen BEFORE the break (index 1 < start=2)... but (1,0) not in
-        # new window, so no second split
-        assert self_intersection_splits_oracle(pts) == [2]
+        assert self_intersection_breaks_oracle(pts) == [1, 2]
+
+    def test_sparse_routing_nodes(self):
+        # only (3,3) is a routing node: the repeat of (1,1) at i=3 is
+        # non-immediate and prev is still 0 → break at 0 (a no-op
+        # boundary: the loop part spans the whole chain, exactly the
+        # reference's behavior when no junction precedes the loop)
+        pts = [(0, 0), (1, 1), (2, 2), (1, 1), (3, 3)]
+        routing = {(3.0, 3.0)}
+        assert self_intersection_breaks_oracle(pts, routing_nodes=routing) == [0]
+
+    def test_max_road_nodes(self):
+        # W2 interplay: 5 routing vertices, limit 3 → rnod hits 4 at i=3,
+        # break at prev=2 (osm2mp.pl:743-747)
+        pts = [(0, 0), (1, 0), (2, 0), (3, 0), (4, 0)]
+        assert self_intersection_breaks_oracle(pts, max_road_nodes=3) == [2]
+
+    def test_barrier_break(self):
+        # W3 interplay: interior barrier vertex breaks at itself
+        pts = [(0, 0), (1, 0), (2, 0), (3, 0)]
+        assert self_intersection_breaks_oracle(
+            pts, barriers={(1.0, 0.0)}
+        ) == [1]
+
+    def test_parts_share_break_vertex(self):
+        assert split_parts_from_breaks(5, [2]) == [(0, 2), (2, 4)]
 
 
 class TestMergeOracle:
@@ -196,9 +222,14 @@ class TestSparkGraphOps:
              (2, 0, 5.0, 5.0), (2, 1, 6.0, 5.0)],
             "chain_id bigint, seq bigint, lon double, lat double",
         )
-        out = split_self_intersections(pts).toPandas().sort_values(["chain_id", "seq"])
+        out = split_self_intersections(pts).toPandas().sort_values(
+            ["chain_id", "part_no", "seq"]
+        )
         c1 = out[out.chain_id == 1]
-        assert list(c1.part_no) == [0, 0, 0, 1, 1]
+        # break at prev=2 (osm2mp.pl:727-729); the break vertex (seq 2) is
+        # SHARED — it closes part 0 and opens part 1 (osm2mp.pl:770-775)
+        assert list(c1.part_no) == [0, 0, 0, 1, 1, 1]
+        assert list(c1.seq) == [0, 1, 2, 2, 3, 4]
         c2 = out[out.chain_id == 2]
         assert list(c2.part_no) == [0, 0]
 

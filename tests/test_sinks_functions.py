@@ -67,7 +67,23 @@ class TestAccessFlags:
         re = spark.createDataFrame([(arr,)], "arr array<int>").select(
             reorder_for_mpc(F.col("arr")).alias("r")
         ).collect()[0].r
-        assert len(re) == 8 and sorted(re) == sorted(arr)
+        # WriterMPC.pm:373 slice [2,3,4,9,5,6,7,9,1,0] → 10 mpc flags
+        # (Carpools / Through Traffic constant 0)
+        assert re == [0, 0, 0, 0, 1, 0, 1, 0, 0, 1]
+
+    def test_motorroad_inverted(self, spark):
+        from osm2mp_spark.functions.access import tag_access_mask
+
+        rows = [
+            ({"motorroad": "yes"},),   # forbids foot+bike (mode -1)
+            ({"motorroad": "no"},),
+            ({"motorroad": "yes", "foot": "yes"},),  # foot re-allowed later
+        ]
+        df = spark.createDataFrame(rows, "tags map<string,string>").select(
+            tag_access_mask(F.col("tags")).alias("m")
+        )
+        got = [r.m for r in df.collect()]
+        assert got == [0b01100000, 0, 0b01000000]
 
     def test_tag_masks(self, spark):
         from osm2mp_spark.functions.access import tag_access_mask
