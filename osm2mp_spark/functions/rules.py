@@ -21,6 +21,7 @@ DuckDB-dialect oracle twin (not runnable through spark.sql).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -128,6 +129,246 @@ class Threshold:
             f"WHEN {self.key} >= {bound} THEN '{label}'" for bound, label in self.buckets
         )
         return f"(CASE {whens} ELSE '{self.default}' END)"
+
+
+# --- F6 field-value selectors (osm2mp.pl:1856-2000) --------------------------
+#
+# The reference resolves config field values per object through
+# `_get_field_content`: plain strings are %tag templates, arrays pick the
+# first non-empty sub-field, hashes dispatch on their 'selector' key
+# (tag-switch / if-condition / numeric thresholds / lang). Here every spec
+# compiles ONCE on the driver to a Catalyst Column (JVM codegen, no Python
+# per row) and to its DuckDB-SQL oracle twin. Python spec syntax mirrors
+# the YAML:  str | [spec, ...] | {"selector": kind, ...}; None = undef.
+# Deviation noted for parity: template %tag reads the column directly
+# (the reference routes through name_from_list's label aliases).
+
+_TEMPLATE_RE = re.compile(r"%(\w+)")
+
+
+def _template_parts(template: str) -> list[tuple[bool, str]]:
+    """[(is_ref, text)] — literal runs and %tag references."""
+    parts: list[tuple[bool, str]] = []
+    pos = 0
+    for m in _TEMPLATE_RE.finditer(template):
+        if m.start() > pos:
+            parts.append((False, template[pos : m.start()]))
+        parts.append((True, m.group(1)))
+        pos = m.end()
+    if pos < len(template):
+        parts.append((False, template[pos:]))
+    return parts
+
+
+def _extract_number_col(c: Column) -> Column:
+    """extract_number || 0 (osm2mp.pl:2341-2346): leading integer of the
+    resolved string, 0 when absent/undef."""
+    return F.coalesce(
+        F.nullif(F.regexp_extract(F.coalesce(c, F.lit("")), "([0-9]+)", 1), F.lit("")),
+        F.lit("0"),
+    ).cast("bigint")
+
+
+def _extract_number_sql(s: str) -> str:
+    return (
+        f"CAST(COALESCE(NULLIF(REGEXP_EXTRACT(COALESCE({s}, ''), "
+        f"'([0-9]+)', 1), ''), '0') AS BIGINT)"
+    )
+
+
+def field_to_column(spec, strict: bool = False, target_lang: str = "en") -> Column:
+    """Compile a field spec to a string Column. `strict` is the reference's
+    empty_failed mode (inside arrays): a template whose referenced tag is
+    missing yields NULL instead of substituting ''. Empty results are NULL
+    (osm2mp.pl:1866-1868)."""
+    null_str = F.lit(None).cast("string")
+    if spec is None:
+        return null_str
+    if isinstance(spec, str):
+        if spec == "":
+            return null_str
+        parts = _template_parts(spec)
+        refs = [t for is_ref, t in parts if is_ref]
+        if not refs:
+            return F.lit(spec)
+        joined = F.concat(
+            *[
+                F.coalesce(F.col(t), F.lit("")) if is_ref else F.lit(t)
+                for is_ref, t in parts
+            ]
+        )
+        if strict:
+            missing = F.col(refs[0]).isNull()
+            for t in refs[1:]:
+                missing = missing | F.col(t).isNull()
+            joined = F.when(~missing, joined)
+        return F.nullif(joined, F.lit(""))
+    if isinstance(spec, (list, tuple)):
+        subs = [field_to_column(s, strict=True, target_lang=target_lang) for s in spec]
+        return F.coalesce(*subs) if subs else null_str
+    if isinstance(spec, dict):
+        kind = spec.get("selector")
+        if kind == "tag":
+            tag = spec["tag"]
+            v = F.col(tag)
+            reserved = {"selector", "tag", "_empty", "_default"}
+            expr = None
+            for k, sub in spec.items():
+                if k in reserved or sub is None:
+                    continue
+                branch = field_to_column(sub, strict, target_lang)
+                expr = (
+                    F.when(v == F.lit(k), branch)
+                    if expr is None
+                    else expr.when(v == F.lit(k), branch)
+                )
+            if spec.get("_empty") is not None:
+                eb = field_to_column(spec["_empty"], strict, target_lang)
+                expr = (
+                    F.when(v.isNull(), eb)
+                    if expr is None
+                    else expr.when(v.isNull(), eb)
+                )
+            default = field_to_column(spec.get("_default"), strict, target_lang)
+            return expr.otherwise(default) if expr is not None else default
+        if kind == "if":
+            cond = spec["condition"]
+            then_c = field_to_column(spec.get("then"), strict, target_lang)
+            out = F.when(cond.to_column(), then_c)
+            if spec.get("else") is not None:
+                out = out.otherwise(
+                    field_to_column(spec["else"], strict, target_lang)
+                )
+            return out
+        if kind == "thresholds":
+            val = _extract_number_col(
+                field_to_column(spec["value"], strict, target_lang)
+            )
+            bounds = sorted(
+                (k, v) for k, v in spec.items()
+                if k not in ("selector", "value")
+            )
+            expr = None
+            for bound, label in reversed(bounds):  # largest ≤ value wins
+                branch = F.lit(str(label))
+                expr = (
+                    F.when(val >= F.lit(int(bound)), branch)
+                    if expr is None
+                    else expr.when(val >= F.lit(int(bound)), branch)
+                )
+            return expr if expr is not None else null_str
+        if kind == "lang":
+            chosen = (
+                spec.get(target_lang)
+                or spec.get("en")
+                or next(
+                    (v for k, v in spec.items() if k != "selector" and v), None
+                )
+            )
+            return field_to_column(chosen, strict, target_lang)
+        raise ValueError(f"unknown selector {kind!r}")
+    raise TypeError(f"bad field spec type: {type(spec)}")
+
+
+def field_to_sql(spec, strict: bool = False, target_lang: str = "en") -> str:
+    """The DuckDB-dialect twin of field_to_column."""
+    if spec is None:
+        return "NULL"
+    if isinstance(spec, str):
+        if spec == "":
+            return "NULL"
+        parts = _template_parts(spec)
+        refs = [t for is_ref, t in parts if is_ref]
+        esc = lambda s: s.replace("'", "''")  # noqa: E731
+        if not refs:
+            return f"'{esc(spec)}'"
+        joined = " || ".join(
+            f"COALESCE(CAST({t} AS VARCHAR), '')" if is_ref else f"'{esc(t)}'"
+            for is_ref, t in parts
+        )
+        if strict:
+            missing = " OR ".join(f"{t} IS NULL" for t in refs)
+            joined = f"CASE WHEN NOT ({missing}) THEN {joined} END"
+        return f"NULLIF({joined}, '')"
+    if isinstance(spec, (list, tuple)):
+        subs = [field_to_sql(s, strict=True, target_lang=target_lang) for s in spec]
+        return "COALESCE(" + ", ".join(subs) + ")" if subs else "NULL"
+    if isinstance(spec, dict):
+        kind = spec.get("selector")
+        if kind == "tag":
+            tag = spec["tag"]
+            reserved = {"selector", "tag", "_empty", "_default"}
+            whens = []
+            for k, sub in spec.items():
+                if k in reserved or sub is None:
+                    continue
+                kk = k.replace("'", "''")
+                whens.append(
+                    f"WHEN {tag} = '{kk}' THEN {field_to_sql(sub, strict, target_lang)}"
+                )
+            if spec.get("_empty") is not None:
+                whens.append(
+                    f"WHEN {tag} IS NULL THEN "
+                    f"{field_to_sql(spec['_empty'], strict, target_lang)}"
+                )
+            default = field_to_sql(spec.get("_default"), strict, target_lang)
+            if not whens:
+                return default
+            return f"(CASE {' '.join(whens)} ELSE {default} END)"
+        if kind == "if":
+            cond = spec["condition"].to_sql()
+            then_s = field_to_sql(spec.get("then"), strict, target_lang)
+            els = (
+                field_to_sql(spec["else"], strict, target_lang)
+                if spec.get("else") is not None
+                else "NULL"
+            )
+            return f"(CASE WHEN {cond} THEN {then_s} ELSE {els} END)"
+        if kind == "thresholds":
+            val = _extract_number_sql(
+                field_to_sql(spec["value"], strict, target_lang)
+            )
+            bounds = sorted(
+                (k, v) for k, v in spec.items()
+                if k not in ("selector", "value")
+            )
+            whens = " ".join(
+                f"WHEN {val} >= {int(b)} THEN '{str(lab)}'"
+                for b, lab in reversed(bounds)
+            )
+            return f"(CASE {whens} ELSE NULL END)" if whens else "NULL"
+        if kind == "lang":
+            chosen = (
+                spec.get(target_lang)
+                or spec.get("en")
+                or next(
+                    (v for k, v in spec.items() if k != "selector" and v), None
+                )
+            )
+            return field_to_sql(chosen, strict, target_lang)
+        raise ValueError(f"unknown selector {kind!r}")
+    raise TypeError(f"bad field spec type: {type(spec)}")
+
+
+# --- F7 presets (osm2mp.pl:2026-2036) -----------------------------------------
+
+def expand_presets(action: dict, presets: dict[str, dict]) -> dict:
+    """Config-time preset expansion: the action's `presets` name list (plus
+    the legacy `contacts` flag) pulls each preset's field specs into
+    extra_fields; the action's own extra_fields override preset keys.
+    Unknown preset names raise (the reference croaks). Per-object
+    resolution of the resulting specs is field_to_column/_to_sql; the
+    reference's 'skip undef values' is NULL in the columnar output."""
+    names = list(action.get("presets", []))
+    if action.get("contacts"):
+        names.append("contacts")
+    extra: dict = {}
+    for name in names:
+        if name not in presets:
+            raise KeyError(f"Unknown preset {name}")
+        extra.update(presets[name])
+    extra.update(action.get("extra_fields", {}))
+    return extra
 
 
 # --- rules -------------------------------------------------------------------

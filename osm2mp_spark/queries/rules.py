@@ -18,6 +18,9 @@ from ..functions.rules import (
     cond_ne,
     cond_or,
     cond_regex,
+    expand_presets,
+    field_to_column,
+    field_to_sql,
 )
 from . import register
 
@@ -52,6 +55,83 @@ def rule_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     dispatch (FeatureConfig.pm:127-151), threshold bucketing selector,
     override-by-id."""
     return _RULES.dispatch_all(_docs(spark, sf_dir), ["doc_id"])
+
+
+# F6 selector spec suite + F7 presets — one spec dict drives BOTH engines
+# (field_to_column for Spark, field_to_sql for the DuckDB oracle), so the
+# correctness gate proves the compiler itself.
+_SEL_TMPL = "%lang-%source"
+_SEL_SWITCH = {
+    "selector": "tag",
+    "tag": "src_or_null",
+    "src1": "one",
+    "src2": "two-%lang",
+    "_empty": "was-src0",
+    "_default": "other:%src_or_null",
+}
+_SEL_THR = {"selector": "thresholds", "value": "%n_chars",
+            100: "mid", 250: "large", 400: "huge"}
+_SEL_IF = {
+    "selector": "if",
+    "condition": cond_eq("lang", "en"),
+    "then": "EN:%source",
+    "else": _SEL_THR,
+}
+_SEL_FIRST = ["%src_or_null", {"selector": "tag", "tag": "lang", "en": "eng"},
+              "zz-%lang"]
+_SEL_LANG = {"selector": "lang", "ru": "RU/%source", "en": "EN/%source"}
+
+_PRESETS = {
+    "contacts": {
+        "phone": {"selector": "tag", "tag": "source",
+                  "src1": "123-456", "_default": "000"},
+        "web": "%lang.example.org",
+    }
+}
+_SEL_ACTION = {"contacts": True, "extra_fields": {"web": "www.%source"}}
+_SEL_EXTRA = expand_presets(_SEL_ACTION, _PRESETS)  # web overridden by action
+
+_SEL_COLS = [
+    ("sel_tmpl", _SEL_TMPL),
+    ("sel_switch", _SEL_SWITCH),
+    ("sel_if", _SEL_IF),
+    ("sel_thr", _SEL_THR),
+    ("sel_first", _SEL_FIRST),
+    ("sel_lang", _SEL_LANG),
+    ("preset_phone", _SEL_EXTRA["phone"]),
+    ("preset_web", _SEL_EXTRA["web"]),
+]
+
+
+@register(
+    "rule_selectors",
+    oracle=(
+        "WITH docs AS (SELECT *, NULLIF(source, 'src0') AS src_or_null "
+        "FROM documents)\nSELECT doc_id,\n"
+        + ",\n".join(
+            f"  {field_to_sql(spec, target_lang='ru')} AS {name}"
+            for name, spec in _SEL_COLS
+        )
+        + "\nFROM docs"
+    ),
+)
+def rule_selectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 field-value selectors + F7 presets (osm2mp.pl:1856-2036): %tag
+    templates (lenient top-level / strict-in-array), tag-switch with
+    _empty/_default, if/then/else over compiled conditions, numeric
+    thresholds over extract_number, lang selection, first-non-empty
+    arrays, and preset expansion with action override — all compiled once
+    to Catalyst expressions (pure whole-stage codegen, zero Python)."""
+    d = _docs(spark, sf_dir).withColumn(
+        "src_or_null", F.expr("NULLIF(source, 'src0')")
+    )
+    return d.select(
+        "doc_id",
+        *[
+            field_to_column(spec, target_lang="ru").alias(name)
+            for name, spec in _SEL_COLS
+        ],
+    )
 
 
 @register(

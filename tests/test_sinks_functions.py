@@ -131,3 +131,63 @@ class TestStrings:
         ).select(tr(F.col("s")).alias("t"))
         got = [r.t for r in df.collect()]
         assert got == ["Muller", "moskva", None]
+
+
+class TestFieldSelectors:
+    """F6 selector compiler semantics (osm2mp.pl:1856-2000) + F7 presets."""
+
+    def _resolve(self, spark, spec, strict=False, **cols):
+        from osm2mp_spark.functions.rules import field_to_column
+
+        schema = ", ".join(f"{k} string" for k in cols)
+        df = spark.createDataFrame([tuple(cols.values())], schema)
+        return df.select(field_to_column(spec, strict=strict).alias("v")).first().v
+
+    def test_template_lenient_vs_strict(self, spark):
+        # lenient (top-level): missing tag substitutes '' (osm2mp.pl:1860-1864)
+        assert self._resolve(spark, "a-%x-%y", x="1", y=None) == "a-1-"
+        # strict (inside arrays, empty_failed): missing tag → undef (:1865)
+        assert self._resolve(spark, "a-%x-%y", strict=True, x="1", y=None) is None
+        # empty result → undef (:1867)
+        assert self._resolve(spark, "%x", x=None) is None
+
+    def test_tag_switch_empty_default(self, spark):
+        spec = {"selector": "tag", "tag": "t", "v1": "one",
+                "_empty": "none", "_default": "other"}
+        assert self._resolve(spark, spec, t="v1") == "one"
+        assert self._resolve(spark, spec, t=None) == "none"
+        assert self._resolve(spark, spec, t="zz") == "other"
+
+    def test_thresholds_below_min_is_null(self, spark):
+        spec = {"selector": "thresholds", "value": "%n", 100: "mid", 400: "big"}
+        assert self._resolve(spark, spec, n="50") is None
+        assert self._resolve(spark, spec, n="150") == "mid"
+        assert self._resolve(spark, spec, n="400") == "big"
+
+    def test_first_non_empty_array(self, spark):
+        spec = ["%a", "%b", "dflt"]
+        assert self._resolve(spark, spec, a=None, b="bee") == "bee"
+        assert self._resolve(spark, spec, a=None, b=None) == "dflt"
+
+    def test_lang_selector_fallbacks(self, spark):
+        from osm2mp_spark.functions.rules import field_to_column
+
+        df = spark.createDataFrame([("s",)], "src string")
+        spec = {"selector": "lang", "de": "DE", "en": "EN-%src"}
+        v = df.select(
+            field_to_column(spec, target_lang="ru").alias("v")
+        ).first().v
+        assert v == "EN-s"  # target missing → en fallback (osm2mp.pl:1941-1944)
+
+    def test_presets_expand_and_override(self):
+        import pytest as _pytest
+
+        from osm2mp_spark.functions.rules import expand_presets
+
+        presets = {"contacts": {"phone": "%p", "web": "w"}}
+        out = expand_presets(
+            {"contacts": True, "extra_fields": {"web": "mine"}}, presets
+        )
+        assert out == {"phone": "%p", "web": "mine"}
+        with _pytest.raises(KeyError):
+            expand_presets({"presets": ["nope"]}, presets)
