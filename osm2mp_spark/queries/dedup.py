@@ -232,11 +232,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # n-gram Jaccard similarity on candidate pairs sharing ≥1 shingle
 # ---------------------------------------------------------------------------
 
+# shingles present in more than this many docs are stop-phrases: they carry
+# no near-dup signal but make their inverted-index group O(DF²) in the pair
+# join — the classic hot-key blowup at corpus scale. Jaccard is computed
+# over the capped shingle universe on BOTH engines (exact twin).
+_NGRAM_DF_CAP = 50
+
+
 @register(
     "ngram_jaccard",
     oracle=f"""
 WITH {_SHINGLE_CTE},
-ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+ds0 AS (SELECT DISTINCT doc_id, shingle FROM sh),
+ds AS (
+  SELECT doc_id, shingle FROM ds0
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {_NGRAM_DF_CAP}),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
@@ -252,7 +262,9 @@ WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.2
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup scoring: distinct-shingle inverted index →
     pair intersection counts → exact-ratio threshold. The shingle equi-join
-    is the scale path (no all-pairs scan)."""
+    is the scale path (no all-pairs scan); a document-frequency cap drops
+    stop-phrase shingles whose inverted-index group would otherwise grow
+    O(DF²) in the pair join (hot-key defusal)."""
     d = _docs(spark, sf_dir)
     toks = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
@@ -262,6 +274,12 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w2").isNotNull())
         .select("doc_id", F.concat_ws(" ", "w", "w1", "w2").alias("shingle"))
         .distinct()
+    )
+    wdf = Window.partitionBy("shingle")
+    ds = (
+        ds.withColumn("__df", F.count("*").over(wdf))
+        .filter(F.col("__df") <= _NGRAM_DF_CAP)
+        .drop("__df")
     )
     sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = ds.alias("a")
@@ -310,14 +328,45 @@ WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 6
 """,
 )
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 32-bit signatures compared by popcount of the
-    XOR, threshold ≤6 bits. All-pairs here (500 docs); at scale the join key
-    becomes simhash bands (same LSH shape as minhash)."""
+    """SimHash near-dup pairs: 32-bit signatures, Hamming ≤ 6.
+
+    Scale shape — banded equi-join, NOT all-pairs: the 32 bits split into
+    7 bands (widths 5,5,5,5,4,4,4). By pigeonhole, two signatures ≤6 bits
+    apart have at least one band with ZERO differing bits, so the union of
+    per-band (band_no, band_bits) equi-joins is a LOSSLESS candidate set;
+    the exact popcount filter then reproduces the all-pairs result
+    bit-for-bit (the oracle stays the all-pairs SQL — the gate proves the
+    rewrite). Per-band buckets hold n/2^width docs, so the join never
+    degenerates into a cartesian product."""
     sh = dedup_simhash(spark, sf_dir)
-    a = sh.alias("a")
-    b = sh.alias("b")
-    return a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").alias("hamming"),
-    ).filter("hamming <= 6")
+    widths = [5, 5, 5, 5, 4, 4, 4]  # 7 bands > 6 max differing bits
+    offsets = [sum(widths[:i]) for i in range(len(widths))]
+    band_structs = ", ".join(
+        f"named_struct('band_no', {i}, 'band_val', "
+        f"shiftright(simhash, {off}) & {(1 << w) - 1})"
+        for i, (off, w) in enumerate(zip(offsets, widths))
+    )
+    bd = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.expr(f"array({band_structs})")).alias("bv"),
+    ).select("doc_id", "simhash", "bv.band_no", "bv.band_val")
+    a = bd.alias("a")
+    b = bd.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").alias(
+                "hamming"
+            ),
+        )
+        .distinct()  # a pair can collide in several bands
+    )
+    return cand.filter("hamming <= 6")

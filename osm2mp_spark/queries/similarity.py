@@ -155,6 +155,59 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Banded (AND/OR-construction) sign-LSH for near-dup pairs.
+#
+# _N_BAND_PLANES total hyperplanes split into _N_BANDS bands of R =
+# total/bands sign bits. Candidates = pairs agreeing on ALL R bits of at
+# least one band (OR over bands of AND over bits); exact quantized cosine
+# confirms. Scaling rule (the 100 TB knob): per-band bucket population is
+# n / 2^R, so R grows as log2(n / target_bucket_size) while the band count
+# B sets recall: P(candidate | per-plane agreement p) = 1 - (1 - p^R)^B.
+# Pinned here at R=4, B=4 (16 planes) for the synthetic corpus; the bucket
+# fan-out is 2^R per band — never a fixed-64 global bucket table, and the
+# per-bucket group size is bounded by construction.
+# ---------------------------------------------------------------------------
+
+_N_BAND_PLANES = 16
+_N_BANDS = 4
+
+
+def _band_exprs(engine: str) -> list[str]:
+    """Per-band integer bucket ids; band b uses seeded planes
+    [b*R, (b+1)*R) with the same integer-hyperplane family as
+    _plane_expr (exact integer dots — engine-identical)."""
+    per = _N_BAND_PLANES // _N_BANDS
+    out = []
+    for b in range(_N_BANDS):
+        bits = []
+        for j in range(per):
+            s = b * per + j
+            if engine == "spark":
+                dot = (
+                    f"aggregate(zip_with(q, sequence(1, size(q)), (x, i) -> "
+                    f"x * ((i * {s + 1} * 2654435761) % 1000003 - 501001)), "
+                    f"CAST(0 AS BIGINT), (a, x) -> a + x)"
+                )
+            else:
+                dot = (
+                    f"LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q, RANGE(1, LEN(q) + 1)), "
+                    f"t -> t[1] * ((t[2] * {s + 1} * 2654435761) % 1000003 - 501001)))"
+                )
+            bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << j} ELSE 0 END)")
+        out.append(" + ".join(bits))
+    return out
+
+
+def _duck_bands_cte() -> str:
+    selects = [
+        f"SELECT vec_id, q, nrm, {b} AS band_no, "
+        f"CAST({e} AS BIGINT) AS band_val FROM norms"
+        for b, e in enumerate(_band_exprs("duckdb"))
+    ]
+    return " UNION ALL ".join(selects)
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
@@ -164,13 +217,14 @@ WITH e AS (
   FROM embeddings),
 norms AS (
   SELECT vec_id, q, LIST_SUM(LIST_TRANSFORM(q, x -> x * x)) AS nrm FROM e),
-b AS (SELECT vec_id, q, nrm, CAST({_plane_expr('duckdb')} AS BIGINT) AS bucket
-      FROM norms),
+bands AS ({_duck_bands_cte()}),
 pairs AS (
-  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+  SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b,
          LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.q, c.q), t -> t[1] * t[2])) AS dot,
          a.nrm AS na, c.nrm AS nb
-  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+  FROM bands a JOIN bands c
+    ON a.band_no = c.band_no AND a.band_val = c.band_val
+   AND a.vec_id < c.vec_id)
 SELECT CAST(vec_a AS BIGINT) AS vec_a, CAST(vec_b AS BIGINT) AS vec_b,
        CAST(dot AS DOUBLE) / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE)))
          AS cosine
@@ -180,29 +234,46 @@ WHERE CAST(dot AS DOUBLE) / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))
 """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: LSH sign-bucket equi-join prunes the pair
-    space, exact quantized cosine confirms (the scale shape: candidates per
-    bucket, never all-pairs). Pairs above the near-dup threshold emitted."""
+    """Embedding-cosine near-dup via banded sign-LSH (AND/OR construction):
+    per-band (band_no, band_val) equi-joins produce candidates, exact
+    quantized cosine confirms. The band width R — not a fixed global
+    bucket count — is the scale knob: R ~ log2(n / target_bucket_size)
+    bounds per-bucket population; the band count B sets recall
+    1-(1-p^R)^B. Never an all-pairs or fixed-64-bucket join."""
     e = _emb(spark, sf_dir).select("vec_id", F.expr(_QUANT).alias("q"))
     norms = e.withColumn(
         "nrm",
         F.expr("aggregate(transform(q, x -> x * x), CAST(0 AS BIGINT), (a, x) -> a + x)"),
     )
-    b = norms.withColumn(
-        "bucket", F.expr(f"CAST({_plane_expr('spark')} AS BIGINT)")
+    band_structs = ", ".join(
+        f"named_struct('band_no', {b}, 'band_val', CAST({e_} AS BIGINT))"
+        for b, e_ in enumerate(_band_exprs("spark"))
     )
-    l = b.alias("l")
-    r = b.alias("r")
-    pairs = l.join(
-        r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.vec_id") < F.col("r.vec_id"))
-    ).select(
-        F.col("l.vec_id").alias("vec_a"),
-        F.col("r.vec_id").alias("vec_b"),
-        F.expr(
-            "aggregate(zip_with(l.q, r.q, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"
-        ).alias("dot"),
-        F.col("l.nrm").alias("na"),
-        F.col("r.nrm").alias("nb"),
+    bd = norms.select(
+        "vec_id",
+        "q",
+        "nrm",
+        F.explode(F.expr(f"array({band_structs})")).alias("bv"),
+    ).select("vec_id", "q", "nrm", "bv.band_no", "bv.band_val")
+    l = bd.alias("l")
+    r = bd.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.band_no") == F.col("r.band_no"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("vec_a"),
+            F.col("r.vec_id").alias("vec_b"),
+            F.expr(
+                "aggregate(zip_with(l.q, r.q, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"
+            ).alias("dot"),
+            F.col("l.nrm").alias("na"),
+            F.col("r.nrm").alias("nb"),
+        )
+        .distinct()  # a pair can collide in several bands
     )
     cos = F.col("dot").cast("double") / (
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))

@@ -69,3 +69,26 @@ class TestPlanShapes:
 
         p = plan_of(E.queries()["pricing_summary"](spark, sf_dir))
         assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+
+    def test_dedup_pair_joins_never_cartesian(self, spark, sf_dir):
+        """The PAIR joins of simhash_pairs / dedup_embedding_cosine /
+        ngram_jaccard are banded equi-joins — an inequality-only pair join
+        would plan as CartesianProduct (or an un-keyed nested loop over the
+        corpus×corpus space) and die at scale. Tiny fixed-size dimension
+        crossJoins (8-row hexpos etc.) are allowed."""
+        import re
+
+        import __spark_entry__ as E
+
+        keys = {
+            "simhash_pairs": "band_no",
+            "dedup_embedding_cosine": "band_no",
+            "ngram_jaccard": "shingle",
+        }
+        for name, key in keys.items():
+            p = plan_of(E.queries()[name](spark, sf_dir))
+            assert "CartesianProduct" not in p, name
+            # the pair join is an equi-join keyed on the banding column
+            assert re.search(
+                rf"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \[{key}", p
+            ), name
