@@ -191,40 +191,400 @@ def route_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # I6: barrier → all-pairs turn restrictions at the node
 # ---------------------------------------------------------------------------
 
+# shared vertex-position model for the restriction family: ways are
+# lineitem chains, `pos` is the 0-based vertex index (ROW_NUMBER over the
+# canonical seq key), first_index semantics = MIN(pos) per (way, node).
+_VERTS_CTE = f"""
+verts AS (
+  SELECT CAST(l_orderkey AS BIGINT) AS way_id,
+         CAST(l_partkey AS BIGINT) AS node_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY {_SEQ})
+              - 1 AS BIGINT) AS pos
+  FROM lineitem),
+lens AS (SELECT way_id, CAST(COUNT(*) AS BIGINT) AS len
+         FROM verts GROUP BY way_id),
+nw AS (SELECT way_id, node_id, MIN(pos) AS pos
+       FROM verts GROUP BY way_id, node_id)
+"""
+
+
+def _verts_df(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+        "CAST(l_orderkey AS BIGINT) AS way_id",
+        "CAST(l_partkey AS BIGINT) AS node_id",
+        f"{_SEQ} AS seq",
+    )
+    w = Window.partitionBy("way_id").orderBy("seq")
+    verts = li.withColumn(
+        "pos", (F.row_number().over(w) - 1).cast("bigint")
+    ).drop("seq")
+    lens = verts.groupBy("way_id").agg(F.count("*").cast("bigint").alias("len"))
+    nwp = verts.groupBy("way_id", "node_id").agg(F.min("pos").alias("pos"))
+    return verts, lens, nwp
+
+
 @register(
     "barrier_restrictions",
-    oracle="""
-WITH nw AS (
-  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS node_id,
-         CAST(l_orderkey AS BIGINT) AS way_id
-  FROM lineitem WHERE l_partkey % 50 = 0)
-SELECT a.node_id, a.way_id AS from_way, b.way_id AS to_way
-FROM nw a JOIN nw b ON a.node_id = b.node_id AND a.way_id <> b.way_id
+    oracle=f"""
+WITH {_VERTS_CTE},
+bar AS (
+  SELECT n.way_id, n.node_id, n.pos, l.len
+  FROM nw n JOIN lens l ON n.way_id = l.way_id
+  WHERE n.node_id % 50 = 0),
+dirs AS (SELECT UNNEST([CAST(-1 AS INT), CAST(1 AS INT)]) AS d)
+SELECT a.node_id, a.way_id AS from_way, a.pos AS fr_pos, df.d AS fr_dir,
+       b.way_id AS to_way, b.pos AS to_pos, dt.d AS to_dir
+FROM bar a JOIN bar b ON a.node_id = b.node_id
+CROSS JOIN dirs df CROSS JOIN dirs dt
+WHERE NOT (df.d = -1 AND a.pos = a.len - 1)
+  AND NOT (df.d = 1  AND a.pos = 0)
+  AND NOT (dt.d = -1 AND b.pos = 0)
+  AND NOT (dt.d = 1  AND b.pos = b.len - 1)
+  AND NOT (a.way_id = b.way_id AND df.d = -dt.d)
 """,
 )
 def barrier_restrictions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """I6 — each barrier node emits a no-go for every (from, to) way pair
-    through it except pass-through (osm2mp.pl:1038-1071); node groups are
-    tiny so the within-group cross join is safe."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    nw = (
-        li.filter("l_partkey % 50 = 0")
-        .select(
-            F.col("l_partkey").cast("bigint").alias("node_id"),
-            F.col("l_orderkey").cast("bigint").alias("way_id"),
-        )
-        .distinct()
+    """I6 full form (osm2mp.pl:1038-1071): each barrier node emits a no-go
+    for every feasible (from_way, fr_dir, to_way, to_dir) combination
+    through it — directions that would start past the chain end are
+    dropped (:1052-1053, :1060-1061), and the PASS-THROUGH movement
+    (same way, opposite dir signs, i.e. driving straight across the
+    barrier's own way) is exempt (:1062). Node groups are tiny so the
+    within-node cross join is safe; the node equi-join is the scale key."""
+    _, lens, nwp = _verts_df(spark, sf_dir)
+    bar = (
+        nwp.filter("node_id % 50 = 0")
+        .join(lens, "way_id")
+        .select("way_id", "node_id", "pos", "len")
     )
-    a = nw.alias("a")
-    b = nw.alias("b")
-    return a.join(
-        b,
-        (F.col("a.node_id") == F.col("b.node_id"))
-        & (F.col("a.way_id") != F.col("b.way_id")),
+    dirs = spark.range(2).selectExpr("CAST(id * 2 - 1 AS INT) AS d")
+    a = bar.alias("a")
+    b = bar.alias("b")
+    df_ = dirs.selectExpr("d AS fr_dir")
+    dt_ = dirs.selectExpr("d AS to_dir")
+    return (
+        a.join(b, F.col("a.node_id") == F.col("b.node_id"))
+        .crossJoin(F.broadcast(df_))
+        .crossJoin(F.broadcast(dt_))
+        .filter(
+            ~((F.col("fr_dir") == -1) & (F.col("a.pos") == F.col("a.len") - 1))
+            & ~((F.col("fr_dir") == 1) & (F.col("a.pos") == 0))
+            & ~((F.col("to_dir") == -1) & (F.col("b.pos") == 0))
+            & ~((F.col("to_dir") == 1) & (F.col("b.pos") == F.col("b.len") - 1))
+            & ~(
+                (F.col("a.way_id") == F.col("b.way_id"))
+                & (F.col("fr_dir") == -F.col("to_dir"))
+            )
+        )
+        .select(
+            F.col("a.node_id").alias("node_id"),
+            F.col("a.way_id").alias("from_way"),
+            F.col("a.pos").alias("fr_pos"),
+            "fr_dir",
+            F.col("b.way_id").alias("to_way"),
+            F.col("b.pos").alias("to_pos"),
+            "to_dir",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7: POI placement at the main-entrance node
+# ---------------------------------------------------------------------------
+
+_RING_N = 6
+
+
+@register(
+    "entrance_poi",
+    oracle=f"""
+WITH blds AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS building_id,
+         LIST_TRANSFORM(RANGE(0, {_RING_N}),
+           i -> CAST((o_custkey * 7 + i * 13) % 2000 + 1 AS BIGINT)) AS ring
+  FROM orders),
+cent AS (
+  SELECT building_id, ring,
+         LIST_SUM(LIST_TRANSFORM(ring, n -> {derived_lon_sql('n')}))
+           / {_RING_N} AS clon,
+         LIST_SUM(LIST_TRANSFORM(ring, n -> {derived_lat_sql('n')}))
+           / {_RING_N} AS clat
+  FROM blds),
+rings AS (
+  SELECT building_id, UNNEST(ring) AS node_id,
+         UNNEST(range(0, {_RING_N})) AS pos
+  FROM blds),
+entr AS (
+  SELECT CAST(p_partkey AS BIGINT) AS node_id FROM part
+  WHERE p_partkey % 23 = 0),
+hit AS (
+  SELECT r.building_id, MIN_BY(r.node_id, r.pos) AS entrance_node
+  FROM rings r JOIN entr e ON r.node_id = e.node_id
+  GROUP BY r.building_id)
+SELECT c.building_id,
+       h.entrance_node,
+       CASE WHEN h.entrance_node IS NOT NULL THEN 'entrance'
+            ELSE 'centroid' END AS placement,
+       CASE WHEN h.entrance_node IS NOT NULL
+            THEN {derived_lon_sql('h.entrance_node')} ELSE c.clon END AS lon,
+       CASE WHEN h.entrance_node IS NOT NULL
+            THEN {derived_lat_sql('h.entrance_node')} ELSE c.clat END AS lat
+FROM cent c LEFT JOIN hit h ON c.building_id = h.building_id
+""",
+)
+def entrance_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 (osm2mp.pl:2230-2243, 2294-2298): an area POI is placed at the
+    FIRST outline node present in the main_entrance set (ring order),
+    falling back to the outline centroid. Explode ring → broadcast-join
+    the entrance node set → min_by(node, pos) picks the first match.
+
+    Centroid exactness: the sum folds the ring ARRAY in element order on
+    both engines (array fold, not a groupBy sum whose partial order could
+    differ), so the doubles are bit-identical."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    blds = o.select(
+        F.col("o_orderkey").cast("bigint").alias("building_id"),
+        F.expr(
+            f"transform(sequence(0, {_RING_N - 1}), "
+            f"i -> CAST((o_custkey * 7 + i * 13) % 2000 + 1 AS BIGINT))"
+        ).alias("ring"),
+    )
+    cent = blds.select(
+        "building_id",
+        "ring",
+        F.expr(
+            f"aggregate(ring, CAST(0 AS DOUBLE), "
+            f"(a, n) -> a + {derived_lon_sql('n')}) / {_RING_N}"
+        ).alias("clon"),
+        F.expr(
+            f"aggregate(ring, CAST(0 AS DOUBLE), "
+            f"(a, n) -> a + {derived_lat_sql('n')}) / {_RING_N}"
+        ).alias("clat"),
+    )
+    rings = blds.select(
+        "building_id", F.posexplode("ring").alias("pos", "node_id")
+    )
+    entr = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter("p_partkey % 23 = 0")
+        .select(F.col("p_partkey").cast("bigint").alias("node_id"))
+    )
+    hit = (
+        rings.join(F.broadcast(entr), "node_id")
+        .groupBy("building_id")
+        .agg(F.min_by("node_id", "pos").alias("entrance_node"))
+    )
+    return cent.join(hit, "building_id", "left").select(
+        "building_id",
+        "entrance_node",
+        F.when(F.col("entrance_node").isNotNull(), F.lit("entrance"))
+        .otherwise(F.lit("centroid"))
+        .alias("placement"),
+        F.when(
+            F.col("entrance_node").isNotNull(),
+            F.expr(derived_lon_sql("entrance_node")),
+        )
+        .otherwise(F.col("clon"))
+        .alias("lon"),
+        F.when(
+            F.col("entrance_node").isNotNull(),
+            F.expr(derived_lat_sql("entrance_node")),
+        )
+        .otherwise(F.col("clat"))
+        .alias("lat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# I5: only_* → no_* restriction expansion
+# ---------------------------------------------------------------------------
+
+@register(
+    "only_restrictions",
+    oracle=f"""
+WITH {_VERTS_CTE},
+thru AS (
+  SELECT n.node_id, n.way_id, n.pos, l.len,
+         (n.way_id % 3 = 0) AS oneway
+  FROM nw n JOIN lens l ON n.way_id = l.way_id
+  WHERE n.node_id % 7 = 0),
+tr AS (
+  SELECT node_id, MIN(way_id) AS only_to_way,
+         CASE WHEN node_id % 2 = 0 THEN 1 ELSE -1 END AS only_to_dir
+  FROM thru GROUP BY node_id HAVING COUNT(*) >= 2)
+SELECT t.node_id, h.way_id AS to_way, h.pos AS to_pos, CAST(1 AS INT) AS to_dir
+FROM tr t JOIN thru h ON t.node_id = h.node_id
+WHERE h.pos < h.len - 1
+  AND NOT (h.way_id = t.only_to_way AND t.only_to_dir = 1)
+UNION ALL
+SELECT t.node_id, h.way_id, h.pos, CAST(-1 AS INT)
+FROM tr t JOIN thru h ON t.node_id = h.node_id
+WHERE h.pos > 0
+  AND NOT (h.way_id = t.only_to_way AND t.only_to_dir = -1)
+  AND NOT h.oneway
+""",
+)
+def only_restrictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I5 (osm2mp.pl:1000-1031): an `only_*` restriction expands into `no`
+    restrictions toward every OTHER movement through the via node — one
+    forward row per through-way unless it IS the permitted (way, dir=1)
+    and the node isn't the way's last vertex (:1004-1010), one backward
+    row unless permitted (way, dir=-1), the node isn't the first vertex,
+    and the way isn't oneway (:1012-1018)."""
+    _, lens, nwp = _verts_df(spark, sf_dir)
+    thru = (
+        nwp.filter("node_id % 7 = 0")
+        .join(lens, "way_id")
+        .withColumn("oneway", F.expr("way_id % 3 = 0"))
+    )
+    tr = (
+        thru.groupBy("node_id")
+        .agg(F.min("way_id").alias("only_to_way"), F.count("*").alias("nways"))
+        .filter("nways >= 2")
+        .withColumn(
+            "only_to_dir",
+            F.expr("CASE WHEN node_id % 2 = 0 THEN 1 ELSE -1 END"),
+        )
+        .select("node_id", "only_to_way", "only_to_dir")
+    )
+    j = tr.join(thru, "node_id")
+    fwd = j.filter(
+        (F.col("pos") < F.col("len") - 1)
+        & ~((F.col("way_id") == F.col("only_to_way")) & (F.col("only_to_dir") == 1))
     ).select(
-        F.col("a.node_id").alias("node_id"),
-        F.col("a.way_id").alias("from_way"),
-        F.col("b.way_id").alias("to_way"),
+        "node_id",
+        F.col("way_id").alias("to_way"),
+        F.col("pos").alias("to_pos"),
+        F.lit(1).cast("int").alias("to_dir"),
+    )
+    bwd = j.filter(
+        (F.col("pos") > 0)
+        & ~((F.col("way_id") == F.col("only_to_way")) & (F.col("only_to_dir") == -1))
+        & ~F.col("oneway")
+    ).select(
+        "node_id",
+        F.col("way_id").alias("to_way"),
+        F.col("pos").alias("to_pos"),
+        F.lit(-1).cast("int").alias("to_dir"),
+    )
+    return fwd.unionByName(bwd)
+
+
+# ---------------------------------------------------------------------------
+# J11: positional restriction re-binding to split road parts
+# ---------------------------------------------------------------------------
+
+_PART_LEN = 8  # break every 8 vertices (scaled-down max_road_nodes)
+
+
+@register(
+    "restriction_rebind",
+    oracle=f"""
+WITH {_VERTS_CTE},
+parts AS (
+  SELECT way_id, CAST(g.p AS BIGINT) AS part_no,
+         CAST({_PART_LEN} * g.p AS BIGINT) AS b_start,
+         LEAST(CAST({_PART_LEN} * (g.p + 1) AS BIGINT), len - 1) AS b_end
+  FROM lens, UNNEST(range(0, CAST(GREATEST(CEIL((len - 1) / {_PART_LEN}.0), 1)
+                             AS BIGINT))) AS g(p)),
+rsel AS (
+  SELECT way_id, len, CAST(FLOOR((len - 1) / 2) AS BIGINT) AS mid
+  FROM lens WHERE way_id % 11 = 0),
+trs AS (
+  SELECT way_id * 100 + 1 AS rel_id, way_id, mid AS pos, 'fr' AS kind,
+         CASE WHEN way_id % 2 = 0 THEN 1 ELSE -1 END AS dir FROM rsel
+  UNION ALL
+  SELECT way_id * 100 + 2, way_id, mid, 'to',
+         CASE WHEN way_id % 2 = 0 THEN -1 ELSE 1 END FROM rsel
+  UNION ALL
+  SELECT way_id * 100 + 3, way_id, CAST(0 AS BIGINT), 'to', 1 FROM rsel
+  UNION ALL
+  SELECT way_id * 100 + 4, way_id, len - 1, 'fr', 1 FROM rsel),
+offs AS (
+  SELECT *, CASE WHEN (kind = 'to' AND dir = 1) OR (kind = 'fr' AND dir = -1)
+                 THEN 1 ELSE 0 END AS off
+  FROM trs)
+SELECT t.rel_id, t.kind, t.way_id, p.part_no,
+       t.pos - p.b_start AS new_pos, CAST(t.dir AS INT) AS dir
+FROM offs t JOIN parts p ON t.way_id = p.way_id
+ AND t.pos > p.b_start - t.off AND t.pos <= p.b_end - t.off
+""",
+)
+def restriction_rebind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 (osm2mp.pl:781-801): after max-nodes splitting, each turn
+    restriction re-binds to the split part owning its (pos, dir) movement
+    — the reference's range rule `pos > b_i - (1+to_dir)/2 AND pos <=
+    b_{{i+1}} - (1+to_dir)/2` for TO movements and the (fr_dir-1)/2 offset
+    for FROM, with new_pos = pos - b_start. Parts share break vertices,
+    so the dir sign decides which side of a boundary owns the movement.
+    The parts join is way_id-keyed (equi) with a tiny residual range —
+    never more than ceil(len/{_PART_LEN}) parts per way."""
+    _, lens, _ = _verts_df(spark, sf_dir)
+    parts = lens.select(
+        "way_id",
+        "len",
+        F.explode(
+            F.expr(
+                f"sequence(0, CAST(GREATEST(CEIL((len - 1) / {_PART_LEN}.0), 1)"
+                f" AS BIGINT) - 1)"
+            )
+        ).alias("part_no"),
+    ).select(
+        "way_id",
+        F.col("part_no").cast("bigint"),
+        (F.lit(_PART_LEN) * F.col("part_no")).cast("bigint").alias("b_start"),
+        F.least(
+            (F.lit(_PART_LEN) * (F.col("part_no") + 1)).cast("bigint"),
+            F.col("len") - 1,
+        ).alias("b_end"),
+    )
+    rsel = lens.filter("way_id % 11 = 0").select(
+        "way_id", "len", F.expr("CAST(FLOOR((len - 1) / 2) AS BIGINT)").alias("mid")
+    )
+    trs = (
+        rsel.selectExpr("way_id * 100 + 1 AS rel_id", "way_id", "mid AS pos",
+                        "'fr' AS kind",
+                        "CASE WHEN way_id % 2 = 0 THEN 1 ELSE -1 END AS dir")
+        .unionByName(
+            rsel.selectExpr("way_id * 100 + 2 AS rel_id", "way_id",
+                            "mid AS pos", "'to' AS kind",
+                            "CASE WHEN way_id % 2 = 0 THEN -1 ELSE 1 END AS dir")
+        )
+        .unionByName(
+            rsel.selectExpr("way_id * 100 + 3 AS rel_id", "way_id",
+                            "CAST(0 AS BIGINT) AS pos", "'to' AS kind",
+                            "1 AS dir")
+        )
+        .unionByName(
+            rsel.selectExpr("way_id * 100 + 4 AS rel_id", "way_id",
+                            "len - 1 AS pos", "'fr' AS kind", "1 AS dir")
+        )
+        .withColumn(
+            "off",
+            F.expr(
+                "CASE WHEN (kind = 'to' AND dir = 1) OR (kind = 'fr' AND dir = -1)"
+                " THEN 1 ELSE 0 END"
+            ),
+        )
+    )
+    return (
+        trs.alias("t")
+        .join(
+            parts.alias("p"),
+            (F.col("t.way_id") == F.col("p.way_id"))
+            & (F.col("t.pos") > F.col("p.b_start") - F.col("t.off"))
+            & (F.col("t.pos") <= F.col("p.b_end") - F.col("t.off")),
+        )
+        .select(
+            "rel_id",
+            "kind",
+            F.col("t.way_id").alias("way_id"),
+            "part_no",
+            (F.col("t.pos") - F.col("p.b_start")).alias("new_pos"),
+            F.col("dir").cast("int").alias("dir"),
+        )
     )
 
 

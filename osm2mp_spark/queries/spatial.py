@@ -277,6 +277,75 @@ def access_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# J4: cityside 2-point test for chains
+# ---------------------------------------------------------------------------
+
+_SAMP_CTE = f"""
+ranked AS (
+  SELECT CAST(l_orderkey AS BIGINT) AS chain_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY {_SEQ})
+              - 1 AS BIGINT) AS pos,
+         CAST(COUNT(*) OVER (PARTITION BY l_orderkey) AS BIGINT) AS n,
+         {_VKEY} AS vkey
+  FROM lineitem),
+samp AS (
+  SELECT chain_id, chain_id * 10 + 1 AS point_id, vkey
+  FROM ranked WHERE pos = CAST(FLOOR(n / 3) AS BIGINT)
+  UNION ALL
+  SELECT chain_id, chain_id * 10 + 2, vkey
+  FROM ranked WHERE pos = CAST(FLOOR(2 * n / 3) AS BIGINT)),
+pts AS (
+  SELECT chain_id, point_id,
+         {derived_lon_sql('vkey')} AS lon, {derived_lat_sql('vkey')} AS lat
+  FROM samp)"""
+
+
+@register(
+    "cityside_chains",
+    oracle=f"""
+WITH {_SAMP_CTE},
+{_CONTAINED_SQL.lstrip()},
+hits AS (SELECT DISTINCT point_id FROM contained)
+SELECT p.chain_id, BOOL_AND(h.point_id IS NOT NULL) AS inside_city
+FROM pts p LEFT JOIN hits h ON p.point_id = h.point_id
+GROUP BY p.chain_id
+""",
+)
+def cityside_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 (osm2mp.pl:1797-1811): a chain counts as inside-city iff its
+    vertices at 1/3 and 2/3 of the chain are BOTH contained in a city
+    area — two sampled PIP probes per chain instead of full-geometry
+    containment (the reference's cheap smart_nodes rule). The probes run
+    through the same zero-shuffle Arrow PIP resolve as J2."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("bigint").alias("chain_id"),
+        F.expr(_SEQ).alias("seq"),
+        F.expr(_VKEY).alias("vkey"),
+    )
+    w = Window.partitionBy("chain_id").orderBy("seq")
+    wn = Window.partitionBy("chain_id")
+    ranked = li.withColumn(
+        "pos", (F.row_number().over(w) - 1).cast("bigint")
+    ).withColumn("n", F.count("*").over(wn).cast("bigint"))
+    s1 = ranked.filter(F.col("pos") == F.expr("CAST(FLOOR(n / 3) AS BIGINT)")).select(
+        "chain_id", (F.col("chain_id") * 10 + 1).alias("point_id"), "vkey"
+    )
+    s2 = ranked.filter(
+        F.col("pos") == F.expr("CAST(FLOOR(2 * n / 3) AS BIGINT)")
+    ).select("chain_id", (F.col("chain_id") * 10 + 2).alias("point_id"), "vkey")
+    pts = with_derived_position(s1.unionByName(s2), "vkey").drop("vkey")
+    hits = (
+        pip_join(pts, _city_index(), how="all").select("point_id").distinct()
+        .withColumn("__inc", F.lit(True))
+    )
+    return (
+        pts.join(hits, "point_id", "left")
+        .groupBy("chain_id")
+        .agg(F.bool_and(F.coalesce("__inc", F.lit(False))).alias("inside_city"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # J13: tile assignment (fixed grid — SQL-checkable) + per-tile counts (A6)
 # ---------------------------------------------------------------------------
 
