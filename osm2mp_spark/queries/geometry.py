@@ -85,6 +85,41 @@ def self_intersect_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_self_intersections(pts)
 
 
+# concave L-shaped map region with one hole — spans the derived-point
+# domain; shared by the G3 queries and their oracles
+CONCAVE_OUTER = [
+    (-180.0, -85.0), (180.0, -85.0), (180.0, 0.0), (0.0, 0.0),
+    (0.0, 85.0), (-180.0, 85.0),
+]
+CONCAVE_HOLE = [(-90.0, -45.0), (-30.0, -45.0), (-30.0, -20.0), (-90.0, -20.0)]
+
+
+@register("clip_polygons_concave")
+def clip_polygons_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 — hexagon polygons (radius 2°, centered at derived positions)
+    clipped to the concave L-region with a hole via the Greiner–Hormann
+    kernel (GPC INTERSECT parity, lib/Clipper.pm:16-43). mapInPandas,
+    zero shuffle; pytest holds the kernel to hand-computed fixtures."""
+    import math
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").cast("bigint").alias("poly_id")
+    )
+    from ..operators.clip import clip_polygons_to_region
+    from ..sources.points import with_derived_position
+
+    pts = with_derived_position(cust, "poly_id")
+    hexes = pts.select(
+        "poly_id",
+        F.expr(
+            "transform(sequence(0, 5), i -> struct("
+            "lon + 2.0 * cos(radians(i * 60.0 + 10.0)) AS lon, "
+            "lat + 2.0 * sin(radians(i * 60.0 + 10.0)) AS lat))"
+        ).alias("ring"),
+    )
+    return clip_polygons_to_region(hexes, CONCAVE_OUTER, [CONCAVE_HOLE])
+
+
 @register("road_merge")
 def road_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I1 — two-vertex roads over a 300-node universe (shared endpoints →

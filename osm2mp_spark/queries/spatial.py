@@ -406,6 +406,47 @@ def clip_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# G2 on a CONCAVE boundary with a hole (G3's line-clipping face)
+# ---------------------------------------------------------------------------
+
+from ..operators.clip import clip_chains_by_predicate, ring_inside_expr
+
+
+def _concave_region():
+    from .geometry import CONCAVE_HOLE, CONCAVE_OUTER
+
+    return CONCAVE_OUTER, [CONCAVE_HOLE]
+
+
+@register(
+    "clip_chains_concave",
+    oracle=None,  # assigned below — needs the predicate text
+)
+def clip_chains_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2/G3 — the keep-one-outside-vertex chain clip against a CONCAVE
+    L-shaped boundary with a hole. Containment is a pure-SQL ray-cast
+    parity predicate (ring_inside_expr) — identical text runs in DuckDB,
+    so the oracle is exact; whole-stage codegen, one window shuffle."""
+    outer, holes = _concave_region()
+    pts = lineitem_chain_points(spark, sf_dir)
+    return clip_chains_by_predicate(
+        pts, ring_inside_expr("lon", "lat", outer, holes)
+    )
+
+
+def _concave_oracle() -> str:
+    outer, holes = _concave_region()
+    return clip_oracle_sql(
+        _CHAIN_CTE, inside_sql=ring_inside_expr("lon", "lat", outer, holes)
+    )
+
+
+from . import ORACLES  # noqa: E402
+
+ORACLES["clip_chains_concave"] = _concave_oracle()
+
+
+# ---------------------------------------------------------------------------
 # A1 / A4: node degree + density histogram
 # ---------------------------------------------------------------------------
 
