@@ -206,3 +206,68 @@ def synthesize_water(chains: dict[str, list], bbox) -> dict:
 
     nest = classify_lakes_islands_oracle(closed)
     return {"seas": seas, "lakes": nest["lakes"], "free_islands": nest["free_islands"]}
+
+
+def tile_bbox_grid(tile_id: int, nx: int = 8, ny: int = 8):
+    """Bbox of a row-major-from-SW world-grid tile (operators.tiles
+    grid_tile_expr numbering)."""
+    iy, ix = divmod(int(tile_id), nx)
+    w = 360.0 / nx
+    h = 180.0 / ny
+    return (-180.0 + ix * w, -90.0 + iy * h, -180.0 + (ix + 1) * w,
+            -90.0 + (iy + 1) * h)
+
+
+def synthesize_water_per_tile(
+    pts,
+    nx: int = 8,
+    ny: int = 8,
+    chain_col: str = "chain_id",
+    seq_col: str = "seq",
+):
+    """The AT-SCALE G10-G12 path: coastline chains grouped per tile, the
+    water-synthesis kernel run inside applyInPandas against each tile's own
+    bbox. Each tile's coastline set is small by construction (the reference
+    splitter guarantees it), so the kernel cost is bounded per group while
+    the tile axis distributes.
+
+    Input: vertex rows (chain_col, seq_col, lon, lat, tile_id) where a
+    chain appears IN FULL under every tile it was assigned to (closure for
+    open chains — crossing geometry needs the outside vertices; first-
+    vertex tile for closed rings). Output rows:
+    (tile_id, kind, idx, n_pts, start_lon, start_lat)."""
+    import pandas as pd
+
+    from .grouped import grouped_map_in_pandas
+
+    schema = (
+        "tile_id int, kind string, idx int, n_pts int, "
+        "start_lon double, start_lat double"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([chain_col, seq_col])
+        tile = int(pdf["tile_id"].iloc[0])
+        bbox = tile_bbox_grid(tile, nx, ny)
+        chains = {
+            str(cid): list(zip(grp["lon"], grp["lat"]))
+            for cid, grp in pdf.groupby(chain_col, sort=True)
+        }
+        water = synthesize_water(chains, bbox)
+        rows = []
+        for i, ring in enumerate(water["seas"]):
+            rows.append((tile, "sea", i, len(ring), ring[0][0], ring[0][1]))
+        for i, lk in enumerate(water["lakes"]):
+            rows.append((tile, "lake", i, len(lk["ring"]),
+                         lk["ring"][0][0], lk["ring"][0][1]))
+            for j, isl in enumerate(lk["islands"]):
+                rows.append((tile, "island", i * 100 + j, len(isl),
+                             isl[0][0], isl[0][1]))
+        for i, isl in enumerate(water["free_islands"]):
+            rows.append((tile, "free_island", i, len(isl), isl[0][0], isl[0][1]))
+        return pd.DataFrame(
+            rows,
+            columns=["tile_id", "kind", "idx", "n_pts", "start_lon", "start_lat"],
+        )
+
+    return grouped_map_in_pandas(pts, "tile_id", kernel, schema=schema)

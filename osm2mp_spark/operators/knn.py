@@ -84,37 +84,56 @@ class _KDTree:
         self.tree = build(np.arange(n, dtype=np.int64), 0)
 
     def query(self, qx: np.ndarray, qy: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """1-NN ids + squared distances, ties by id (deterministic)."""
-        out_id = np.empty(len(qx), dtype=object)
-        out_d = np.full(len(qx), np.inf)
+        """1-NN ids + squared distances, ties by id (deterministic —
+        the result is min over anchors by (distance, id), so it matches
+        brute force exactly).
 
+        Fully VECTORIZED iterative branch-and-bound: an explicit stack of
+        (node, point-index-subset, far-side-bound) entries. Each pop
+        evaluates one tree node against its whole surviving point subset
+        in numpy; far-side entries re-filter their subset against the
+        CURRENT best bound at pop time (the stack discipline — far pushed
+        before near — guarantees the near subtree has already tightened
+        the bound). No per-point Python loop anywhere."""
+        qx = np.asarray(qx, dtype=np.float64)
+        qy = np.asarray(qy, dtype=np.float64)
+        n = len(qx)
         pts = self.pts
         ids = self.ids
+        best_d = np.full(n, np.inf)
+        best_i = np.zeros(n, dtype=np.int64)
 
-        def visit(node, x, y, best):
-            if node == -1 or node is None:
-                return best
+        stack: list[tuple] = [(self.tree, np.arange(n), None)]
+        while stack:
+            node, sel, bound = stack.pop()
+            if node == -1 or node is None or len(sel) == 0:
+                continue
+            if bound is not None:
+                keep = bound <= best_d[sel]
+                sel = sel[keep]
+                if len(sel) == 0:
+                    continue
             my, left, right = node
-            i = self.order[my]
-            dx = pts[i, 0] - x
-            dy = pts[i, 1] - y
+            i = int(self.order[my])
+            dx = qx[sel] - pts[i, 0]
+            dy = qy[sel] - pts[i, 1]
             d = dx * dx + dy * dy
-            bd, bi = best
-            if d < bd or (d == bd and ids[i] < ids[bi]):
-                best = (d, i)
-            ax = self.axis[my]
-            delta = (x, y)[ax] - pts[i, ax]
-            near, far = (left, right) if delta < 0 else (right, left)
-            best = visit(near, x, y, best)
-            if delta * delta <= best[0]:
-                best = visit(far, x, y, best)
-            return best
+            bd = best_d[sel]
+            upd = (d < bd) | ((d == bd) & (ids[i] < ids[best_i[sel]]))
+            us = sel[upd]
+            best_d[us] = d[upd]
+            best_i[us] = i
+            ax = int(self.axis[my])
+            delta = (qx[sel] if ax == 0 else qy[sel]) - pts[i, ax]
+            near_left = delta < 0
+            d2 = delta * delta
+            # far sides first (LIFO → processed after the near subtrees)
+            stack.append((right, sel[near_left], d2[near_left]))
+            stack.append((left, sel[~near_left], d2[~near_left]))
+            stack.append((left, sel[near_left], None))
+            stack.append((right, sel[~near_left], None))
 
-        for j in range(len(qx)):
-            d, i = visit(self.tree, float(qx[j]), float(qy[j]), (np.inf, 0))
-            out_id[j] = ids[i]
-            out_d[j] = d
-        return out_id, out_d
+        return ids[best_i], best_d
 
 
 def knn_celltree(

@@ -141,37 +141,81 @@ def road_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.join(sizes, "head_id").select("road_id", "head_id", "chain_len")
 
 
+def sea_chain_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sf-scaling coastline set derived from orders:
+    - every 20th order → an OPEN 5-vertex coastline heading east from its
+      derived position (6°/step, ±1.5° deterministic wiggle);
+    - every 50th order → a closed CW 2°×2° lake;
+    - every 100th order → a CCW 1°×1° island inside that lake.
+    Output vertex rows (chain_id, seq, lon, lat, closed)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = o.selectExpr(
+        "CAST(o_orderkey AS BIGINT) AS okey",
+        f"{derived_lon_sql('o_orderkey')} AS lon0",
+        f"{derived_lat_sql('o_orderkey')} AS lat0",
+    )
+    coast = base.filter("okey % 20 = 0").select(
+        F.expr("okey * 10").alias("chain_id"),
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 4), i -> struct("
+                "  least(lon0 + i * 6.0, 179.9) AS lon,"
+                "  greatest(least(lat0 + (okey * (i + 1)) % 7 * 0.5 - 1.5,"
+                "           84.9), -84.9) AS lat))"
+            )
+        ).alias("seq", "p"),
+        F.lit(False).alias("closed"),
+    ).select("chain_id", "seq", "p.lon", "p.lat", "closed")
+    def _closed_ring(suffix: int, dxs: str, dys: str):
+        return base.filter(
+            f"okey % {50 if suffix == 1 else 100} = 0"
+        ).select(
+            F.expr(f"okey * 10 + {suffix}").alias("chain_id"),
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, 4), i -> struct("
+                    f"  least(lon0, 177.0) + element_at(array({dxs}), i + 1) AS lon,"
+                    f"  least(lat0, 82.0) + element_at(array({dys}), i + 1) AS lat))"
+                )
+            ).alias("seq", "p"),
+            F.lit(True).alias("closed"),
+        ).select("chain_id", "seq", "p.lon", "p.lat", "closed")
+
+    # lake: CW 2°×2° rectangle; island: CCW 1°×1° inside it
+    lake = _closed_ring(1, "0.0D, 0.0D, 2.0D, 2.0D, 0.0D",
+                        "0.0D, 2.0D, 2.0D, 0.0D, 0.0D")
+    isle = _closed_ring(2, "0.5D, 1.5D, 1.5D, 0.5D, 0.5D",
+                        "0.5D, 0.5D, 1.5D, 1.5D, 0.5D")
+    return coast.unionByName(lake).unionByName(isle)
+
+
 @register("sea_synthesis")
 def sea_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G10-G12 — deterministic coastline set against the map boundary:
-    stitching, sea closure along the perimeter, lake/island nesting.
-    Driver-side kernel (geometry is dimension-scale), DataFrame out."""
-    bbox = (-90.0, -45.0, 90.0, 45.0)
-    chains = {
-        # two arcs that stitch into one crossing coastline
-        "c1": [(-100.0, 10.0), (-50.0, 5.0), (0.0, 0.0)],
-        "c2": [(0.0, 0.0), (50.0, -5.0), (100.0, -10.0)],
-        # a second independent crossing coastline
-        "c3": [(-100.0, -30.0), (0.0, -35.0), (100.0, -40.0)],
-        # closed lake (CW) with an island (CCW) inside
-        "lake": [(10.0, 20.0), (10.0, 30.0), (30.0, 30.0), (30.0, 20.0), (10.0, 20.0)],
-        "isle": [(15.0, 24.0), (25.0, 24.0), (25.0, 26.0), (15.0, 26.0), (15.0, 24.0)],
-    }
-    water = synthesize_water(chains, bbox)
-    rows = []
-    for i, ring in enumerate(water["seas"]):
-        rows.append(("sea", i, len(ring), ring[0][0], ring[0][1]))
-    for i, lk in enumerate(water["lakes"]):
-        rows.append(("lake", i, len(lk["ring"]), lk["ring"][0][0], lk["ring"][0][1]))
-        for j, isl in enumerate(lk["islands"]):
-            rows.append(("island", i * 100 + j, len(isl), isl[0][0], isl[0][1]))
-    for i, isl in enumerate(water["free_islands"]):
-        rows.append(("free_island", i, len(isl), isl[0][0], isl[0][1]))
-    return spark.createDataFrame(
-        pd.DataFrame(
-            rows, columns=["kind", "idx", "n_pts", "start_lon", "start_lat"]
-        )
+    """G10-G12 at scale — sf-scaling coastline chains synthesized from
+    orders, water synthesis run PER TILE inside applyInPandas against each
+    tile's own bbox (the per-tile path lib/Coastlines.pm runs per map).
+    Open chains replicate to every tile they touch (closure — the crossing
+    math needs the outside vertices); closed rings go to their first
+    vertex's tile. Geometry never shuffles except the one tile grouping."""
+    from ..operators.coastlines import synthesize_water_per_tile
+    from ..operators.tiles import assign_tiles_grid
+
+    pts = sea_chain_vertices(spark, sf_dir)
+    tiled = assign_tiles_grid(pts, nx=8, ny=8)
+    open_tiles = (
+        tiled.filter(~F.col("closed"))
+        .select("chain_id", "tile_id")
+        .distinct()
     )
+    closed_tiles = (
+        tiled.filter(F.col("closed") & (F.col("seq") == 0))
+        .select("chain_id", "tile_id")
+    )
+    chain_tiles = open_tiles.unionByName(closed_tiles)
+    full = pts.join(chain_tiles, "chain_id").select(
+        "tile_id", "chain_id", "seq", "lon", "lat"
+    )
+    return synthesize_water_per_tile(full, nx=8, ny=8)
 
 
 @register("bsp_tiles")

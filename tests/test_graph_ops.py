@@ -335,3 +335,59 @@ class TestReviewRegressions:
         ).df()
         assert np.array_equal(lon_np, got.lon.to_numpy())
         assert np.array_equal(lat_np, got.lat.to_numpy())
+
+
+class TestSeaSynthesisPerTile:
+    def test_spark_matches_driver_twin_and_scales(self, spark):
+        """The distributed per-tile applyInPandas path must equal a driver-
+        side run of the same kernel over the same per-tile chain groups."""
+        from osm2mp_spark.operators.coastlines import (
+            synthesize_water,
+            tile_bbox_grid,
+        )
+        from osm2mp_spark.queries.geometry import (
+            sea_chain_vertices,
+            sea_synthesis,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = sea_synthesis(spark, sf).toPandas()
+        assert len(got) > 4  # scales with data, not a fixed fixture
+
+        # driver twin: same chain→tile assignment, same kernel
+        pts = sea_chain_vertices(spark, sf).toPandas()
+        nx = ny = 8
+        ix = ((pts.lon + 180.0) / 360.0 * nx).astype(int).clip(0, nx - 1)
+        iy = ((pts.lat + 90.0) / 180.0 * ny).astype(int).clip(0, ny - 1)
+        pts = pts.assign(tile_id=iy * nx + ix)
+        chain_tiles = set()
+        for cid, grp in pts.sort_values(["chain_id", "seq"]).groupby("chain_id"):
+            closed = bool(grp.closed.iloc[0])
+            tiles = (
+                {int(grp.tile_id.iloc[0])} if closed
+                else set(int(t) for t in grp.tile_id)
+            )
+            for t in tiles:
+                chain_tiles.add((int(cid), t))
+        expected = []
+        for tile in sorted({t for _, t in chain_tiles}):
+            chains = {}
+            for cid, t in chain_tiles:
+                if t != tile:
+                    continue
+                grp = pts[pts.chain_id == cid].sort_values("seq")
+                chains[str(cid)] = list(zip(grp.lon, grp.lat))
+            water = synthesize_water(chains, tile_bbox_grid(tile, nx, ny))
+            for i, ring in enumerate(water["seas"]):
+                expected.append((tile, "sea", i, len(ring)))
+            for i, lk in enumerate(water["lakes"]):
+                expected.append((tile, "lake", i, len(lk["ring"])))
+                for j, isl in enumerate(lk["islands"]):
+                    expected.append((tile, "island", i * 100 + j, len(isl)))
+            for i, isl in enumerate(water["free_islands"]):
+                expected.append((tile, "free_island", i, len(isl)))
+        got_set = set(
+            zip(got.tile_id.astype(int), got.kind, got.idx.astype(int),
+                got.n_pts.astype(int))
+        )
+        assert got_set == set(expected)
