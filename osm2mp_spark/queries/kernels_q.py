@@ -209,3 +209,119 @@ def ring_area_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(CASE WHEN flip THEN -({qsum}) ELSE ({qsum}) END AS BIGINT) AS signed_q",
         f"(CASE WHEN flip THEN -({qsum}) ELSE ({qsum}) END) < 0 AS is_clockwise",
     )
+
+
+# ---------------------------------------------------------------------------
+# MP → Garmin type translation (WriterMPC.pm:550-557 + __DATA__ table)
+# ---------------------------------------------------------------------------
+
+from ..functions.garmin import (  # noqa: E402
+    PSEUDOROAD_LENGTH,
+    code_table_values_sql,
+    synthesize_pseudoroads,
+    translate_types,
+)
+
+# synthetic feature stream: kind from partkey mod 3 (1=point, 3=line,
+# 5=polygon), mp code drawn from a per-kind candidate list by modulo —
+# includes codes ABSENT from the table to exercise the UNKNOWN default
+_POINT_CODES = ["0x0100", "0x0500", "0x0c00", "0x2800", "0x2c04", "0xff00"]
+_LINE_CODES = ["0x01", "0x05", "0x07", "0x14", "0x1f", "0xfe"]
+_POLY_CODES = ["0x03", "0x07", "0x13", "0x3c", "0x50", "0xfd"]
+
+
+def _codes_sql(codes: list[str]) -> str:
+    return "[" + ", ".join(f"'{c}'" for c in codes) + "]"
+
+
+@register(
+    "garmin_typemap",
+    oracle=f"""
+WITH feats AS (
+  SELECT CAST(p_partkey AS BIGINT) AS feature_id,
+         CAST(1 + (p_partkey % 3) * 2 AS INT) AS kind,
+         CASE 1 + (p_partkey % 3) * 2
+           WHEN 1 THEN {_codes_sql(_POINT_CODES)}[CAST(p_partkey % 6 AS INT) + 1]
+           WHEN 3 THEN {_codes_sql(_LINE_CODES)}[CAST(p_partkey % 6 AS INT) + 1]
+           ELSE {_codes_sql(_POLY_CODES)}[CAST(p_partkey % 6 AS INT) + 1]
+         END AS mp_code
+  FROM part),
+dim(kind, mp_code, garmin_type) AS (VALUES {code_table_values_sql()})
+SELECT f.feature_id, f.kind, f.mp_code,
+       COALESCE(d.garmin_type, 'UNKNOWN') AS garmin_type
+FROM feats f LEFT JOIN dim d
+  ON f.kind = d.kind AND LOWER(f.mp_code) = d.mp_code
+""",
+)
+def garmin_typemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 — MP→Garmin type translation as a BROADCAST dimension join
+    (WriterMPC.pm:550-557 `_init_code_table` keying: (shape kind,
+    lowercased mp code) → garmin name; unknown codes surface as UNKNOWN).
+    A 700-entry CASE would cross the 64KB codegen cliff — the broadcast
+    hash join is the scale shape for any table size."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    pt = ", ".join(f"'{c}'" for c in _POINT_CODES)
+    ln = ", ".join(f"'{c}'" for c in _LINE_CODES)
+    pg = ", ".join(f"'{c}'" for c in _POLY_CODES)
+    feats = p.selectExpr(
+        "CAST(p_partkey AS BIGINT) AS feature_id",
+        "CAST(1 + (p_partkey % 3) * 2 AS INT) AS kind",
+        f"""CASE 1 + (p_partkey % 3) * 2
+           WHEN 1 THEN element_at(array({pt}), CAST(p_partkey % 6 AS INT) + 1)
+           WHEN 3 THEN element_at(array({ln}), CAST(p_partkey % 6 AS INT) + 1)
+           ELSE element_at(array({pg}), CAST(p_partkey % 6 AS INT) + 1)
+         END AS mp_code""",
+    )
+    return translate_types(feats)
+
+
+# ---------------------------------------------------------------------------
+# housenumber pseudoroads (WriterMPC.pm:273-316, mp-housesearch.pl:71-91)
+# ---------------------------------------------------------------------------
+
+@register(
+    "housenumber_pseudoroads",
+    oracle=f"""
+WITH pts AS (
+  SELECT CAST(c_custkey AS BIGINT) AS point_id,
+         CASE WHEN c_custkey % 13 = 0 THEN 'N/A'
+              WHEN c_custkey % 7 = 0
+                THEN CAST(c_custkey % 197 + 1 AS VARCHAR) || 'a'
+              ELSE CAST(c_custkey % 197 + 1 AS VARCHAR) END AS house,
+         'st' || CAST(c_custkey % 50 AS VARCHAR) AS street,
+         {derived_lon_sql('c_custkey')} AS lon,
+         {derived_lat_sql('c_custkey')} AS lat
+  FROM customer),
+numbered AS (
+  SELECT *, REGEXP_EXTRACT(house, '([0-9]+)', 1) AS h
+  FROM pts WHERE REGEXP_EXTRACT(house, '([0-9]+)', 1) <> '')
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY point_id) AS BIGINT) AS link_id,
+       point_id,
+       house || ' ' || street AS name,
+       'ALLEY' AS road_type,
+       CAST(h AS BIGINT) AS l_from_adr,
+       CAST(h AS BIGINT) AS l_to_adr,
+       '1,1,1,1,1,1,1,1,1,1' AS access_flags,
+       lon,
+       lat - {PSEUDOROAD_LENGTH!r} AS lat0,
+       lat + {PSEUDOROAD_LENGTH!r} AS lat1
+FROM numbered
+""",
+)
+def housenumber_pseudoroads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 — housenumber pseudoroad synthesis (WriterMPC.pm:273-316):
+    digit-bearing address points become 2-vertex vertical ALLEY roads,
+    named "<house> <street>", L_FROM/TO_ADR = the number, all-open
+    access, deterministic sequential LINK_ID."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = c.selectExpr(
+        "CAST(c_custkey AS BIGINT) AS point_id",
+        "CASE WHEN c_custkey % 13 = 0 THEN 'N/A'"
+        "     WHEN c_custkey % 7 = 0"
+        "       THEN CAST(c_custkey % 197 + 1 AS STRING) || 'a'"
+        "     ELSE CAST(c_custkey % 197 + 1 AS STRING) END AS house",
+        "'st' || CAST(c_custkey % 50 AS STRING) AS street",
+        f"{derived_lon_sql('c_custkey')} AS lon",
+        f"{derived_lat_sql('c_custkey')} AS lat",
+    )
+    return synthesize_pseudoroads(pts)

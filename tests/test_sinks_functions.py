@@ -191,3 +191,27 @@ class TestFieldSelectors:
         assert out == {"phone": "%p", "web": "mine"}
         with _pytest.raises(KeyError):
             expand_presets({"presets": ["nope"]}, presets)
+
+
+class TestGarminTable:
+    def test_parse_code_table_reference_format(self):
+        from osm2mp_spark.functions.garmin import parse_code_table
+
+        text = "0x0A00  1   TESTPOINT\n0x0a  3   TESTLINE\n\nnot a row\n0x0A00  1   OVERRIDE\n"
+        t = parse_code_table(text)
+        assert t[(1, "0x0a00")] == "OVERRIDE"  # lowercased key, later wins
+        assert t[(3, "0x0a")] == "TESTLINE"
+
+    def test_translate_broadcast_join(self, spark):
+        from tests.test_plans import plan_of
+
+        from osm2mp_spark.functions.garmin import translate_types
+
+        df = spark.createDataFrame(
+            [(1, 1, "0x0100"), (2, 3, "0xFE")],
+            "feature_id bigint, kind int, mp_code string",
+        )
+        out = translate_types(df)
+        got = {r.feature_id: r.garmin_type for r in out.collect()}
+        assert got == {1: "LARGE_CITY", 2: "UNKNOWN"}
+        assert "BroadcastHashJoin" in plan_of(out)
