@@ -38,6 +38,23 @@ class Cond:
 
     def to_column(self) -> Column:
         c = F.col(self.key) if self.key else None
+        if self.kind == "named":
+            # F4 (FeatureConfig.pm:109-113): string condition ids with a
+            # `~` negation prefix. only_node → object type is Node;
+            # only_way / no_node → it is not; any other id reads the
+            # like-named precomputed boolean column (the reference's
+            # registered conditions, e.g. inside_city → cond_is_inside_city
+            # whose containment bit our PIP stage materializes as a column).
+            neg = self.key.startswith("~")
+            cid = self.key.lstrip("~ ")
+            type_col = F.col(self.value or "obj_kind")
+            if cid == "only_node":
+                out = type_col == "Node"
+            elif cid in ("only_way", "no_node"):
+                out = type_col != "Node"
+            else:
+                out = F.col(cid)
+            return ~out if neg else out
         if self.kind == "eq":
             # ';'-separated multivalues match on ANY part (FeatureConfig.pm:87)
             return F.array_contains(F.split(c, ";"), self.value)
@@ -66,6 +83,17 @@ class Cond:
         to_column)."""
         k = self.key
         v = self.value.replace("'", "''")
+        if self.kind == "named":
+            neg = self.key.startswith("~")
+            cid = self.key.lstrip("~ ")
+            tc = self.value or "obj_kind"
+            if cid == "only_node":
+                sql = f"({tc} = 'Node')"
+            elif cid in ("only_way", "no_node"):
+                sql = f"({tc} <> 'Node')"
+            else:
+                sql = f"({cid})"
+            return f"(NOT {sql})" if neg else sql
         if self.kind == "eq":
             return f"LIST_CONTAINS(string_split({k}, ';'), '{v}')"
         if self.kind == "ne":

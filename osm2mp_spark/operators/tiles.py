@@ -198,6 +198,55 @@ def redistribute_nodes(
     return direct.unionByName(pulled).distinct()
 
 
+def relation_tile_closure(
+    members: DataFrame,
+    seed_tiles: DataFrame,
+    max_rounds: int = 16,
+) -> DataFrame:
+    """I4 — iterated nested-relation closure (_old/splitter.pl:393-427):
+    a relation joins every tile holding any of its members, and its member
+    relations join the tiles the relation reached — the reference iterates
+    passes until the transitive nesting is closed; here a driver-bounded
+    semi-join fixpoint (rounds ≤ nesting depth, each round one shuffle).
+
+    members: (rel_id, node_id nullable, member_rel nullable) — one row per
+    member. seed_tiles: (node_id, tile_id). Output: distinct
+    (rel_id, tile_id)."""
+    base = (
+        members.filter(F.col("node_id").isNotNull())
+        .join(seed_tiles, "node_id")
+        .select("rel_id", "tile_id")
+        .distinct()
+    )
+    edges = (
+        members.filter(F.col("member_rel").isNotNull())
+        .select("rel_id", "member_rel")
+        .distinct()
+    )
+    closure = base.localCheckpoint(eager=True)
+    n_prev = closure.count()
+    for _ in range(max_rounds):
+        e = edges.alias("e")
+        c = closure.alias("c")
+        up = e.join(
+            c, F.col("e.member_rel") == F.col("c.rel_id")
+        ).select(F.col("e.rel_id").alias("rel_id"), F.col("c.tile_id").alias("tile_id"))
+        down = e.join(
+            c, F.col("e.rel_id") == F.col("c.rel_id")
+        ).select(
+            F.col("e.member_rel").alias("rel_id"),
+            F.col("c.tile_id").alias("tile_id"),
+        )
+        new = closure.unionByName(up).unionByName(down).distinct()
+        new = new.localCheckpoint(eager=True)
+        n_new = new.count()
+        closure = new
+        if n_new == n_prev:
+            break
+        n_prev = n_new
+    return closure
+
+
 def salted_repartition(
     df: DataFrame,
     key_col: str,

@@ -664,3 +664,55 @@ def tile_redistribute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chain_tiles = tiled.select("chain_id", "tile_id").distinct()
     return redistribute_nodes(tiled, chain_tiles)
+
+
+# ---------------------------------------------------------------------------
+# I4: iterated nested-relation closure (_old/splitter.pl:393-427)
+# ---------------------------------------------------------------------------
+
+@register(
+    "nested_relation_closure",
+    oracle=f"""
+WITH RECURSIVE
+nt AS (
+  SELECT CAST(c_custkey AS BIGINT) AS node_id,
+         CAST({grid_tile_expr(derived_lon_sql('c_custkey'),
+                              derived_lat_sql('c_custkey'), 8, 8)} AS INT)
+           AS tile_id
+  FROM customer),
+rm AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS rel_id,
+         CAST(o_custkey AS BIGINT) AS node_id,
+         CASE WHEN o_orderkey % 5 <> 0 AND o_orderkey > 1
+              THEN CAST(o_orderkey - 1 AS BIGINT) END AS member_rel
+  FROM orders),
+ed AS (
+  SELECT rel_id AS a, member_rel AS b FROM rm WHERE member_rel IS NOT NULL
+  UNION ALL
+  SELECT member_rel AS a, rel_id AS b FROM rm WHERE member_rel IS NOT NULL),
+closure(rel_id, tile_id) AS (
+  SELECT r.rel_id, n.tile_id FROM rm r JOIN nt n ON r.node_id = n.node_id
+  UNION
+  SELECT e.b, c.tile_id FROM closure c JOIN ed e ON e.a = c.rel_id)
+SELECT DISTINCT rel_id, tile_id FROM closure
+""",
+)
+def nested_relation_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I4 — nested-relation → tile closure to fixpoint
+    (_old/splitter.pl:393-427): a relation joins tiles of its members
+    (upward through arbitrary nesting) and its member relations join the
+    tiles the parent reached (downward, the objects_to_add push). Driver-
+    bounded semi-join fixpoint; each round one distinct shuffle."""
+    from ..operators.tiles import relation_tile_closure
+
+    seed = spark.read.parquet(f"{sf_dir}/customer.parquet").selectExpr(
+        "CAST(c_custkey AS BIGINT) AS node_id",
+        f"CAST({grid_tile_expr(derived_lon_sql('c_custkey'), derived_lat_sql('c_custkey'), 8, 8)} AS INT) AS tile_id",
+    )
+    members = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+        "CAST(o_orderkey AS BIGINT) AS rel_id",
+        "CAST(o_custkey AS BIGINT) AS node_id",
+        "CASE WHEN o_orderkey % 5 <> 0 AND o_orderkey > 1 "
+        "THEN CAST(o_orderkey - 1 AS BIGINT) END AS member_rel",
+    )
+    return relation_tile_closure(members, seed)

@@ -207,3 +207,113 @@ def name_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sel_name"),
         F.coalesce(F.nullif(F.col("lang"), F.lit("")), F.lit("und")).alias("sel_lang"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F12: street-type abbreviation rewrite (mp-postprocess.pl:116-173)
+# ---------------------------------------------------------------------------
+
+# (input template, HAND-DERIVED expected output) — the oracle side is the
+# hand-computed expectation table, so the gate checks the kernel against
+# the written spec, not against itself. Covers: type-first, type-last,
+# standalone type (unchanged), no-type (unchanged), ordinal rotation,
+# Ukrainian rows, numbers without ordinal suffixes.
+_STREET_FIXTURES = [
+    ("улица ленина", "Ленина ул."),
+    ("ленина улица", "Ленина ул."),
+    ("переулок гагарина", "Гагарина пер."),
+    ("проспект мира", "Мира пр-т"),
+    ("красная площадь", "Красная пл."),
+    ("садовое кольцо", "садовое кольцо"),
+    ("1-й проезд марьиной рощи", "Марьиной Рощи 1-й пр-д"),
+    ("шоссе энтузиастов", "Энтузиастов ш."),
+    ("вулиця шевченка", "Шевченка вул."),
+    ("набережная тараса шевченко", "Тараса Шевченко наб."),
+    ("улица 26 бакинских комиссаров", "26 Бакинских Комиссаров ул."),
+    ("площадь", "площадь"),
+]
+
+
+@register(
+    "street_abbrev",
+    oracle=(
+        "SELECT CAST(c_custkey AS BIGINT) AS point_id,\n"
+        + "  CASE CAST(c_custkey % 12 AS INT)\n"
+        + "\n".join(
+            f"    WHEN {i} THEN '{inp}'" for i, (inp, _) in enumerate(_STREET_FIXTURES)
+        )
+        + "\n  END AS street,\n"
+        + "  CASE CAST(c_custkey % 12 AS INT)\n"
+        + "\n".join(
+            f"    WHEN {i} THEN '{out}'" for i, (_, out) in enumerate(_STREET_FIXTURES)
+        )
+        + "\n  END AS abbreviated\nFROM customer"
+    ),
+)
+def street_abbrev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 — RU/UA street-type abbreviation rewrite
+    (mp-postprocess.pl:116-173): ucfirst words, first-match street-type
+    token moved to the tail as its canonical abbreviation, ordinal
+    normalization. Vectorized pandas-UDF kernel; the ORACLE side is a
+    hand-derived expectation table, so the kernel is held to the written
+    spec."""
+    from ..functions.strings import make_street_abbrev_udf
+
+    ab = make_street_abbrev_udf(spark)
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    names = ", ".join(f"'{inp}'" for inp, _ in _STREET_FIXTURES)
+    pts = c.selectExpr(
+        "CAST(c_custkey AS BIGINT) AS point_id",
+        f"element_at(array({names}), CAST(c_custkey % 12 AS INT) + 1) AS street",
+    )
+    return pts.withColumn("abbreviated", ab(F.col("street")))
+
+
+# ---------------------------------------------------------------------------
+# F4: named conditions (only_node / only_way / registered ids, ~negation)
+# ---------------------------------------------------------------------------
+
+from ..functions.rules import Cond  # noqa: E402
+
+
+def _named(key: str) -> Cond:
+    return Cond("named", key, "obj_kind")
+
+
+_NAMED_RULES = RuleSet(
+    [
+        Rule("n_node_poi", cond_and(_named("only_node"), cond_eq("lang", "en")),
+             {"obj_type": "poi"}),
+        Rule("n_way_line", _named("only_way"), {"obj_type": "line"}),
+        Rule("n_city_area", cond_and(_named("inside_city"), _named("~only_node")),
+             {"obj_type": "cityarea"}),
+        Rule("n_not_node", _named("no_node"), {"obj_type": "nonpoint"}),
+    ]
+)
+
+_NAMED_CTE = (
+    "(SELECT doc_id, lang, "
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'Node' WHEN 1 THEN 'Way' "
+    "ELSE 'Relation' END AS obj_kind, "
+    "(doc_id % 5 = 0) AS inside_city FROM documents)"
+)
+
+
+@register(
+    "rule_named_dispatch",
+    oracle=_NAMED_RULES.dispatch_all_sql(_NAMED_CTE, ["doc_id"]),
+)
+def rule_named_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 (FeatureConfig.pm:109-113, 135): named condition ids — only_node
+    tests the object type, only_way/no_node its negation, `~` prefixes
+    negate, and registered ids (inside_city) read their precomputed
+    boolean column (the J2 containment bit). Compiled to plain boolean
+    Columns like every other condition — codegen, pushdown free."""
+    d = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "lang",
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'Node' WHEN 1 THEN 'Way' "
+        "ELSE 'Relation' END AS obj_kind",
+        "(doc_id % 5 = 0) AS inside_city",
+    )
+    return _NAMED_RULES.dispatch_all(d, ["doc_id"])

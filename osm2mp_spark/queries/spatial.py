@@ -546,3 +546,65 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue_cents"),
         F.count("*").alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G15: external-node marking at the map boundary (osm2mp.pl:1651-1659)
+# ---------------------------------------------------------------------------
+
+def _tri_state_sql(lon: str, lat: str) -> str:
+    """is_inside_bounds tri-state (osm2mp.pl:1197-1202): 1 strictly inside,
+    0 on the boundary edge, -1 outside."""
+    minlon, minlat, maxlon, maxlat = _CLIP_BBOX
+    strict = (f"({lon} > {minlon!r} AND {lon} < {maxlon!r} "
+              f"AND {lat} > {minlat!r} AND {lat} < {maxlat!r})")
+    closed = (f"({lon} >= {minlon!r} AND {lon} <= {maxlon!r} "
+              f"AND {lat} >= {minlat!r} AND {lat} <= {maxlat!r})")
+    return f"(CASE WHEN {strict} THEN 1 WHEN {closed} THEN 0 ELSE -1 END)"
+
+
+@register(
+    "xnode_marking",
+    oracle=f"""
+WITH {_CHAIN_CTE},
+st AS (
+  SELECT chain_id, seq, lon, lat,
+         {_tri_state_sql('lon', 'lat')} AS s,
+         ROW_NUMBER() OVER (PARTITION BY chain_id ORDER BY seq) - 1 AS pos,
+         COUNT(*) OVER (PARTITION BY chain_id) AS n
+  FROM pts),
+fl AS (
+  SELECT *,
+         FIRST_VALUE(s) OVER (PARTITION BY chain_id ORDER BY pos) AS fs,
+         FIRST_VALUE(s) OVER (PARTITION BY chain_id ORDER BY pos DESC) AS ls
+  FROM st)
+SELECT chain_id, CAST(pos AS BIGINT) AS pos, lon, lat
+FROM fl
+WHERE (pos = 0 AND fs < 1) OR (pos = 1 AND fs = 0)
+   OR (pos = n - 1 AND ls < 1) OR (pos = n - 2 AND ls = 0)
+""",
+)
+def xnode_marking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G15 (osm2mp.pl:1651-1659): chains touching the map boundary mark
+    their end nodes as EXTERNAL (routing must not continue through them):
+    first/last node when not strictly inside; the SECOND node in from an
+    exactly-on-edge endpoint too. Tri-state containment is a pure Column
+    expression; endpoint states fan out via two window first_values."""
+    pts = lineitem_chain_points(spark, sf_dir)
+    w = Window.partitionBy("chain_id").orderBy("seq")
+    wn = Window.partitionBy("chain_id")
+    wf = Window.partitionBy("chain_id").orderBy("pos")
+    wl = Window.partitionBy("chain_id").orderBy(F.col("pos").desc())
+    st = (
+        pts.withColumn("s", F.expr(_tri_state_sql("lon", "lat")))
+        .withColumn("pos", F.row_number().over(w) - 1)
+        .withColumn("n", F.count("*").over(wn))
+        .withColumn("fs", F.first("s").over(wf))
+        .withColumn("ls", F.first("s").over(wl))
+    )
+    return st.filter(
+        ((F.col("pos") == 0) & (F.col("fs") < 1))
+        | ((F.col("pos") == 1) & (F.col("fs") == 0))
+        | ((F.col("pos") == F.col("n") - 1) & (F.col("ls") < 1))
+        | ((F.col("pos") == F.col("n") - 2) & (F.col("ls") == 0))
+    ).select("chain_id", F.col("pos").cast("bigint"), "lon", "lat")

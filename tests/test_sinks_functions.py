@@ -215,3 +215,26 @@ class TestGarminTable:
         got = {r.feature_id: r.garmin_type for r in out.collect()}
         assert got == {1: "LARGE_CITY", 2: "UNKNOWN"}
         assert "BroadcastHashJoin" in plan_of(out)
+
+
+class TestStreetAbbrev:
+    """F12 kernel vs hand-derived expectations (mp-postprocess.pl:149-173)."""
+
+    def test_fixture_table(self):
+        from osm2mp_spark.functions.strings import clear_street
+        from osm2mp_spark.queries.rules import _STREET_FIXTURES
+
+        for inp, expected in _STREET_FIXTURES:
+            assert clear_street(inp) == expected, inp
+
+    def test_unmatched_returns_original_not_ucfirst(self):
+        from osm2mp_spark.functions.strings import clear_street
+
+        assert clear_street("садовое кольцо") == "садовое кольцо"
+        assert clear_street(None) is None
+
+    def test_standalone_type_word_unchanged(self):
+        from osm2mp_spark.functions.strings import clear_street
+
+        # bare type token has neither prefix nor postfix → skipped
+        assert clear_street("улица") == "улица"
