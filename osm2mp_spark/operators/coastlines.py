@@ -142,8 +142,138 @@ def _rect_crossing(p_out, p_in, rect):
     return best
 
 
-def synthesize_water(chains: dict[str, list], bbox) -> dict:
-    """Full G10-G12 kernel over raw coastline chains.
+def _close_runs(runs: list[tuple[list, float, float]], total: float, walk) -> list:
+    """Shared sea-closure loop (lib/Coastlines.pm:101-196): from each open
+    run's END walk the boundary CLOCKWISE (water right of travel) to the
+    nearest unused run START (or back to the ring's own start), splicing
+    boundary vertices in between. runs: (pts, t_start, t_end) with
+    perimeter positions carried explicitly."""
+    seas = []
+    used = [False] * len(runs)
+    for i0 in range(len(runs)):
+        if used[i0]:
+            continue
+        ring = list(runs[i0][0])
+        t_start0, t_end = runs[i0][1], runs[i0][2]
+        used[i0] = True
+        while True:
+            best = None
+            for j, r in enumerate(runs):
+                if used[j]:
+                    continue
+                d = (r[1] - t_end) % total
+                if best is None or d < best[0] or (d == best[0] and j < best[1]):
+                    best = (d, j)
+            d_close = (t_start0 - t_end) % total
+            if best is None or d_close <= best[0]:
+                ring.extend(walk(t_end, t_start0))
+                ring.append(ring[0])
+                seas.append(ring)
+                break
+            _, j = best
+            ring.extend(walk(t_end, runs[j][1]))
+            ring.extend(runs[j][0])
+            t_end = runs[j][2]
+            used[j] = True
+    return seas
+
+
+class RingBoundary:
+    """Arbitrary simple boundary ring (G11 general case —
+    lib/Coastlines.pm:101-196 walks the actual boundary polygon, not a
+    rect). The ring is stored CLOCKWISE; perimeter position = cumulative
+    euclidean arc length from vertex 0."""
+
+    def __init__(self, ring):
+        from ..geometry.kernels import signed_area
+
+        pts = [tuple(map(float, p)) for p in ring]
+        if pts[0] != pts[-1]:
+            pts.append(pts[0])
+        if signed_area(pts) > 0:  # CCW → reverse to CW
+            pts = pts[::-1]
+        self.pts = pts
+        self.cum = [0.0]
+        for a, b in zip(pts[:-1], pts[1:]):
+            self.cum.append(
+                self.cum[-1] + float(np.hypot(b[0] - a[0], b[1] - a[1]))
+            )
+        self.total = self.cum[-1]
+
+    def contains(self, p) -> bool:
+        return points_in_ring(
+            np.array([p[0]]), np.array([p[1]]), self.pts
+        )[0] >= 0  # on-edge counts inside (osm2mp is_inside_bounds)
+
+    def crossing(self, p_out, p_in):
+        """Nearest intersection of (p_out → p_in) with the ring, as
+        (point, perimeter_pos); None if no crossing."""
+        best = None
+        for i, (e0, e1) in enumerate(zip(self.pts[:-1], self.pts[1:])):
+            hit = segment_intersection(p_out, p_in, e0, e1)
+            if hit is None:
+                continue
+            t = max(abs(hit[0] - p_out[0]), abs(hit[1] - p_out[1]))
+            if best is None or t < best[0]:
+                pos = self.cum[i] + float(
+                    np.hypot(hit[0] - e0[0], hit[1] - e0[1])
+                )
+                best = (t, hit, pos)
+        return (best[1], best[2]) if best else None
+
+    def walk(self, t0: float, t1: float) -> list:
+        """Ring vertices passed walking clockwise from t0 to t1."""
+        out = []
+        t1_adj = t1 if t1 > t0 else t1 + self.total
+        for lap in (0.0, self.total):
+            for i in range(len(self.pts) - 1):
+                ct = self.cum[i] + lap
+                if t0 < ct < t1_adj:
+                    out.append(self.pts[i])
+        return out
+
+
+def _clip_open_chain_ring(chain, boundary: RingBoundary):
+    """Inside runs of an open chain against an arbitrary ring, endpoints
+    replaced by exact crossings with perimeter positions carried.
+    Returns [(pts, t_start|None, t_end|None)]."""
+    pts = [tuple(p) for p in chain]
+    inside = [boundary.contains(p) for p in pts]
+    runs = []
+    cur: list = []
+    t_start = None
+    for i in range(len(pts)):
+        if inside[i]:
+            if not cur and i > 0:
+                hit = boundary.crossing(pts[i - 1], pts[i])
+                if hit is not None and hit[0] != pts[i]:
+                    cur.append(hit[0])
+                    t_start = hit[1]
+            cur.append(pts[i])
+        else:
+            if cur:
+                hit = boundary.crossing(pts[i], pts[i - 1])
+                t_end = None
+                if hit is not None and hit[0] != cur[-1]:
+                    cur.append(hit[0])
+                    t_end = hit[1]
+                runs.append((cur, t_start, t_end))
+                cur, t_start = [], None
+            elif i > 0 and not inside[i - 1]:
+                entry = boundary.crossing(pts[i - 1], pts[i])
+                exit_ = boundary.crossing(pts[i], pts[i - 1])
+                if entry and exit_ and entry[0] != exit_[0]:
+                    runs.append(([entry[0], exit_[0]], entry[1], exit_[1]))
+    if cur:
+        runs.append((cur, t_start, None))
+    return runs
+
+
+def synthesize_water(chains: dict[str, list], boundary) -> dict:
+    """Full G10-G12 kernel over raw coastline chains against either a
+    rectangular bbox (minlon, minlat, maxlon, maxlat) or an ARBITRARY
+    simple boundary ring (list of (lon, lat) — the lib/Coastlines.pm
+    general case).
 
     Returns {"seas": [ring...], "lakes": [{"ring", "islands"}...],
     "free_islands": [...]}, rings closed, deterministic order."""
@@ -151,58 +281,39 @@ def synthesize_water(chains: dict[str, list], bbox) -> dict:
     closed = [ch for ch in merged if ch[0] == ch[-1]]
     open_chains = [ch for ch in merged if ch[0] != ch[-1]]
 
+    is_rect = (
+        isinstance(boundary, (tuple, list))
+        and len(boundary) == 4
+        and not isinstance(boundary[0], (tuple, list))
+    )
+
     # clip open chains to the boundary; only runs with BOTH endpoints on the
     # perimeter can be closed by boundary arcs — a coastline that ends
     # strictly inside the map is incomplete data and is skipped, like the
     # reference skips unclosable geometry (lib/OSM.pm:186 pattern)
-    runs = []
-    incomplete = 0
-    for ch in open_chains:
-        for r in _clip_open_chain(ch, bbox):
-            if len(r) < 2:
-                continue
-            if _on_perimeter(r[0], bbox) and _on_perimeter(r[-1], bbox):
-                runs.append(r)
-            else:
-                incomplete += 1
+    runs: list[tuple[list, float, float]] = []
+    if is_rect:
+        bbox = tuple(boundary)
+        total = 2 * ((bbox[2] - bbox[0]) + (bbox[3] - bbox[1]))
+        for ch in open_chains:
+            for r in _clip_open_chain(ch, bbox):
+                if len(r) < 2:
+                    continue
+                if _on_perimeter(r[0], bbox) and _on_perimeter(r[-1], bbox):
+                    runs.append(
+                        (r, _perimeter_pos(r[0], bbox), _perimeter_pos(r[-1], bbox))
+                    )
+        walk = lambda t0, t1: _walk_perimeter(t0, t1, bbox)  # noqa: E731
+    else:
+        ringb = boundary if isinstance(boundary, RingBoundary) else RingBoundary(boundary)
+        total = ringb.total
+        for ch in open_chains:
+            for r, t0, t1 in _clip_open_chain_ring(ch, ringb):
+                if len(r) >= 2 and t0 is not None and t1 is not None:
+                    runs.append((r, t0, t1))
+        walk = ringb.walk
 
-    seas = []
-    if runs:
-        # event list: (perimeter pos of run END, run index) — from a run's
-        # end we walk clockwise to the nearest run START
-        starts = sorted(
-            ((_perimeter_pos(r[0], bbox), i) for i, r in enumerate(runs)),
-        )
-        used = [False] * len(runs)
-        for i0 in range(len(runs)):
-            if used[i0]:
-                continue
-            ring = list(runs[i0])
-            used[i0] = True
-            while True:
-                t_end = _perimeter_pos(ring[-1], bbox)
-                # next start strictly after t_end (wrapping), not used —
-                # or the ring's own start to close
-                t_close = _perimeter_pos(ring[0], bbox)
-                best = None
-                for ts, j in starts:
-                    if used[j]:
-                        continue
-                    d = (ts - t_end) % (2 * ((bbox[2] - bbox[0]) + (bbox[3] - bbox[1])))
-                    if best is None or d < best[0]:
-                        best = (d, ts, j)
-                d_close = (t_close - t_end) % (
-                    2 * ((bbox[2] - bbox[0]) + (bbox[3] - bbox[1]))
-                )
-                if best is None or d_close <= best[0]:
-                    ring.extend(_walk_perimeter(t_end, t_close, bbox))
-                    ring.append(ring[0])
-                    seas.append(ring)
-                    break
-                _, ts, j = best
-                ring.extend(_walk_perimeter(t_end, ts, bbox))
-                ring.extend(runs[j])
-                used[j] = True
+    seas = _close_runs(runs, total, walk) if runs else []
 
     nest = classify_lakes_islands_oracle(closed)
     return {"seas": seas, "lakes": nest["lakes"], "free_islands": nest["free_islands"]}

@@ -391,3 +391,53 @@ class TestSeaSynthesisPerTile:
                 got.n_pts.astype(int))
         )
         assert got_set == set(expected)
+
+
+class TestSeaSynthesisArbitraryRing:
+    def test_concave_l_boundary(self):
+        """G11 general case: sea closure against a NON-rectangular
+        (L-shaped) boundary ring — the perimeter walk passes the concave
+        corner vertices (lib/Coastlines.pm:101-196)."""
+        from osm2mp_spark.geometry.kernels import points_in_ring
+        from osm2mp_spark.operators.coastlines import synthesize_water
+
+        l_ring = [(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 4.0),
+                  (6.0, 4.0), (6.0, 0.0), (0.0, 0.0)]
+        chains = {"c": [(-2.0, 6.0), (5.0, 6.0), (12.0, 6.0)]}
+        water = synthesize_water(chains, l_ring)
+        assert len(water["seas"]) == 1
+        sea = water["seas"][0]
+        assert sea[0] == sea[-1]
+        # water lies right of travel (south): (1,1) in, (1,9) out; the
+        # concave notch corner (6,4) and (10,4) must be spliced in
+        inside = points_in_ring([1.0, 1.0], [1.0, 9.0], sea)
+        assert inside[0] >= 0 and inside[1] < 0
+        assert (10.0, 4.0) in sea and (6.0, 4.0) in sea and (6.0, 0.0) in sea
+        # the notch interior is NOT part of the map, so not in the sea
+        assert points_in_ring([8.0], [1.0], sea)[0] < 0
+
+    def test_two_chains_on_ring(self):
+        from osm2mp_spark.operators.coastlines import synthesize_water
+
+        ring = [(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0)]
+        chains = {
+            "a": [(-2.0, 8.0), (12.0, 8.0)],
+            "b": [(12.0, 2.0), (-2.0, 2.0)],
+        }
+        water = synthesize_water(chains, ring)
+        assert len(water["seas"]) >= 1
+        for sea in water["seas"]:
+            assert sea[0] == sea[-1]
+
+    def test_rect_and_ring_paths_agree(self):
+        """A rectangle expressed as a ring must reproduce the rect-path
+        result (same vertices, same orientation of splices)."""
+        from osm2mp_spark.operators.coastlines import synthesize_water
+
+        bbox = (0.0, 0.0, 10.0, 10.0)
+        ring = [(0.0, 10.0), (10.0, 10.0), (10.0, 0.0), (0.0, 0.0)]
+        chains = {"c": [(-2.0, 6.0), (5.0, 5.0), (12.0, 4.0)]}
+        wa = synthesize_water(chains, bbox)
+        wb = synthesize_water(chains, ring)
+        assert len(wa["seas"]) == len(wb["seas"]) == 1
+        assert set(map(tuple, wa["seas"][0])) == set(map(tuple, wb["seas"][0]))
