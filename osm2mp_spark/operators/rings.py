@@ -56,3 +56,38 @@ def assemble_rings(members: DataFrame) -> DataFrame:
     return grouped_map_in_pandas(
         members, "rel_id", stitch, schema=RING_SCHEMA, order="seq"
     )
+
+
+def nest_contours(
+    contours,
+    rel_col: str = "rel_id",
+    no_col: str = "contour_no",
+    ring_col: str = "ring",
+):
+    """G6 (osm2mp.pl:1752-1764) on Spark: per-relation contour grouping via
+    grouped_map_in_pandas (contour sets are tiny; relations distribute).
+    Input rows: (rel_col, no_col, ring_col array<struct<lon,lat>>).
+    Output: (rel_col, contour_no, polygon_no, is_inner)."""
+    import pandas as pd
+
+    from ..oracle.reference import nest_contours_oracle
+    from .grouped import grouped_map_in_pandas
+
+    schema = f"{rel_col} bigint, contour_no int, polygon_no int, is_inner boolean"
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(no_col)
+        rings = [
+            [(p["lon"], p["lat"]) for p in ring] for ring in pdf[ring_col]
+        ]
+        nos = pdf[no_col].to_numpy()
+        rel = pdf[rel_col].iloc[0]
+        rows = [
+            (rel, int(nos[idx]), pno, inner)
+            for idx, pno, inner in nest_contours_oracle(rings)
+        ]
+        return pd.DataFrame(
+            rows, columns=[rel_col, "contour_no", "polygon_no", "is_inner"]
+        )
+
+    return grouped_map_in_pandas(contours, rel_col, kernel, schema=schema)

@@ -259,3 +259,33 @@ def classify_lakes_islands_oracle(rings: list[list]) -> dict:
         if not placed:
             out["free_islands"].append(isl)
     return out
+
+
+def nest_contours_oracle(contours: list[list[tuple]]) -> list[tuple[int, int, bool]]:
+    """G6 — generic contour-group nesting (osm2mp.pl:1752-1764): repeatedly
+    take the FIRST remaining contour as a polygon's outer ring; every later
+    contour whose FIRST VERTEX lies inside that outer joins the polygon as
+    an inner ring (the reference's single-level polygon_contains_point
+    test — a ring nested inside an inner still joins the same polygon,
+    a faithful quirk). Returns (contour_idx, polygon_no, is_inner)."""
+    import numpy as np
+
+    from ..geometry.kernels import points_in_ring
+
+    out: list[tuple[int, int, bool]] = []
+    rest = list(range(len(contours)))
+    poly_no = 0
+    while rest:
+        head = rest.pop(0)
+        out.append((head, poly_no, False))
+        outer = contours[head]
+        keep = []
+        for j in rest:
+            p = contours[j][0]
+            if points_in_ring(np.array([p[0]]), np.array([p[1]]), outer)[0] == 1:
+                out.append((j, poly_no, True))
+            else:
+                keep.append(j)
+        rest = keep
+        poly_no += 1
+    return out

@@ -238,3 +238,74 @@ def bsp_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tile_id")
         .agg(F.count("*").alias("n_points"), F.min("point_id").alias("min_point"))
     )
+
+
+# ---------------------------------------------------------------------------
+# G6: generic contour-group nesting (osm2mp.pl:1752-1764)
+# ---------------------------------------------------------------------------
+
+@register(
+    "contour_nesting",
+    oracle=f"""
+WITH base AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS rel_id, o_orderkey AS okey
+  FROM orders WHERE o_orderkey % 4 = 0)
+SELECT rel_id, CAST(0 AS INT) AS contour_no, CAST(0 AS INT) AS polygon_no,
+       FALSE AS is_inner FROM base
+UNION ALL
+SELECT rel_id, 1, 0, TRUE FROM base WHERE okey % 2 = 0
+UNION ALL
+SELECT rel_id, 2, 0, TRUE FROM base WHERE okey % 3 = 0
+UNION ALL
+SELECT rel_id, 3, 1, FALSE FROM base WHERE okey % 5 = 0
+""",
+)
+def contour_nesting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6 — generic contour-group nesting (osm2mp.pl:1752-1764): the first
+    remaining contour opens a polygon; later contours whose first vertex
+    lies inside it become its inner rings; non-contained contours open the
+    next polygon. Spark side runs the GENERIC per-relation kernel
+    (grouped_map_in_pandas); the oracle is the hand-specified grouping of
+    the synthetic contour sets (big square + up to two contained inners +
+    one disjoint square)."""
+    from ..operators.rings import nest_contours
+
+    def square(fx: str, fy: str, s: float) -> str:
+        corners = [
+            (fx, fy),
+            (f"{fx} + {s}", fy),
+            (f"{fx} + {s}", f"{fy} + {s}"),
+            (fx, f"{fy} + {s}"),
+            (fx, fy),
+        ]
+        return "array(" + ", ".join(
+            f"struct({x} AS lon, {y} AS lat)" for x, y in corners
+        ) + ")"
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        "o_orderkey % 4 = 0"
+    )
+    base = o.selectExpr(
+        "CAST(o_orderkey AS BIGINT) AS rel_id",
+        "o_orderkey AS okey",
+        f"least(greatest({derived_lon_sql('o_orderkey')}, -170.0), 160.0) AS lon0",
+        f"least(greatest({derived_lat_sql('o_orderkey')}, -75.0), 75.0) AS lat0",
+    )
+    c0 = base.selectExpr(
+        "rel_id", "CAST(0 AS INT) AS contour_no",
+        square("(lon0 - 3.0)", "(lat0 - 3.0)", 6.0) + " AS ring",
+    )
+    c1 = base.filter("okey % 2 = 0").selectExpr(
+        "rel_id", "CAST(1 AS INT) AS contour_no",
+        square("(lon0 - 1.5)", "(lat0 - 0.5)", 1.0) + " AS ring",
+    )
+    c2 = base.filter("okey % 3 = 0").selectExpr(
+        "rel_id", "CAST(2 AS INT) AS contour_no",
+        square("(lon0 + 0.5)", "(lat0 - 0.5)", 1.0) + " AS ring",
+    )
+    c3 = base.filter("okey % 5 = 0").selectExpr(
+        "rel_id", "CAST(3 AS INT) AS contour_no",
+        square("(lon0 + 5.0)", "(lat0 - 0.5)", 1.0) + " AS ring",
+    )
+    contours = c0.unionByName(c1).unionByName(c2).unionByName(c3)
+    return nest_contours(contours)

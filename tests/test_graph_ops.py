@@ -441,3 +441,28 @@ class TestSeaSynthesisArbitraryRing:
         wb = synthesize_water(chains, ring)
         assert len(wa["seas"]) == len(wb["seas"]) == 1
         assert set(map(tuple, wa["seas"][0])) == set(map(tuple, wb["seas"][0]))
+
+
+class TestContourNesting:
+    def test_groups_and_quirk(self):
+        from osm2mp_spark.oracle.reference import nest_contours_oracle
+
+        big = [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)]
+        inner = [(2, 2), (4, 2), (4, 4), (2, 4), (2, 2)]
+        nested_in_inner = [(2.5, 2.5), (3, 2.5), (3, 3), (2.5, 3), (2.5, 2.5)]
+        far = [(20, 20), (21, 20), (21, 21), (20, 21), (20, 20)]
+        out = nest_contours_oracle([big, inner, nested_in_inner, far])
+        # faithful reference quirk (osm2mp.pl:1756-1760): the ring nested
+        # inside an INNER still joins polygon 0 as another inner (the test
+        # is only first-vertex-inside-OUTER)
+        assert out == [(0, 0, False), (1, 0, True), (2, 0, True),
+                       (3, 1, False)]
+
+    def test_second_polygon_collects_its_inners(self):
+        from osm2mp_spark.oracle.reference import nest_contours_oracle
+
+        a = [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)]
+        b = [(20, 20), (30, 20), (30, 30), (20, 30), (20, 20)]
+        b_in = [(22, 22), (24, 22), (24, 24), (22, 24), (22, 22)]
+        out = nest_contours_oracle([a, b, b_in])
+        assert out == [(0, 0, False), (1, 1, False), (2, 1, True)]
