@@ -16,6 +16,12 @@ Polish-format text renderer.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 
 def write_per_tile(df: DataFrame, out_dir: str, tile_col: str = "tile_id",
@@ -24,10 +30,80 @@ def write_per_tile(df: DataFrame, out_dir: str, tile_col: str = "tile_id",
     df.write.mode("overwrite").partitionBy(tile_col).format(fmt).save(out_dir)
 
 
+# --- S9: the five fixed DBF layer schemas (WriterMPC.pm:28-89) ---------------
+# DBF 'C'(width) → string, 'N' → long. Field NAMES and order are the
+# reference's; widths become metadata (parquet has no fixed-width char).
+
+def _fields(spec: list[tuple[str, str, int | None]]) -> list[StructField]:
+    return [
+        StructField(
+            name,
+            StringType() if kind == "C" else LongType(),
+            True,
+            {"dbf_width": width} if width is not None else {},
+        )
+        for name, kind, width in spec
+    ]
+
+
+_COMMON = [("NAME", "C", 120), ("GRMN_TYPE", "C", 32)]
+
+_ROAD = _COMMON + [
+    ("ROUTE_LVL", "N", 1), ("SPD_LIMIT", "N", 3), ("SPD_FORMAT", "N", 1),
+    ("IS_LGL_SPD", "N", 1), ("ROUTE_SPD", "N", 3), ("ONE_WAY", "N", 1),
+    ("TOLL_ROAD", "N", 1), ("LINK_ID", "N", None), ("ACC_MASK", "C", 10),
+    ("CNTRL_ACC", "N", 1), ("IS_TUNNEL", "N", 1), ("TURN_RSTRS", "C", 64),
+    ("L_CITY", "C", 64), ("R_CITY", "C", 64), ("L_STATE", "C", 64),
+    ("R_STATE", "C", 64), ("L_COUNTRY", "C", 64), ("R_COUNTRY", "C", 64),
+    ("L_PCODE", "C", 8), ("R_PCODE", "C", 8),
+]
+
+LAYER_SCHEMAS: dict[str, StructType] = {
+    "points": StructType(_fields(_COMMON + [
+        ("STRT_ADDR", "C", 64), ("CITY", "C", 64), ("STATE", "C", 64),
+        ("COUNTRY", "C", 64), ("PCODE", "C", 64), ("PHONE", "C", 64),
+    ])),
+    "areas": StructType(_fields(_COMMON + [
+        ("HGT_DP_FMT", "C", 3), ("HGT_DP", "N", 5),
+    ])),
+    "lines": StructType(_fields(_COMMON)),
+    "roads": StructType(_fields(_ROAD)),
+    "addr_pseudoroads": StructType(_fields(_ROAD + [
+        ("L_FORMAT", "N", 1), ("L_PARITY", "N", 1), ("L_FROM_ADR", "C", 4),
+        ("L_TO_ADR", "C", 4), ("R_PARITY", "N", 1), ("R_FORMAT", "N", 1),
+        ("R_FROM_ADR", "C", 4), ("R_TO_ADR", "C", 4),
+        ("Z_LVL_STRT", "N", 1), ("Z_LVL_END", "N", 1),
+    ])),
+}
+
+
+def conform_to_layer(df: DataFrame, layer: str) -> DataFrame:
+    """Project/cast a frame onto a layer's fixed schema: missing attribute
+    columns become NULL, extra columns are kept AFTER the fixed prefix
+    (geometry etc.), fixed columns are cast to the DBF-mapped type."""
+    from pyspark.sql import functions as F
+
+    schema = LAYER_SCHEMAS[layer]
+    fixed = []
+    have = {c.lower(): c for c in df.columns}
+    for f in schema.fields:
+        src = have.get(f.name.lower())
+        col = (
+            F.col(src).cast(f.dataType) if src is not None
+            else F.lit(None).cast(f.dataType)
+        )
+        fixed.append(col.alias(f.name))
+    fixed_names = {f.name.lower() for f in schema.fields}
+    extras = [F.col(c) for c in df.columns if c.lower() not in fixed_names]
+    return df.select(*fixed, *extras)
+
+
 def write_layers(layers: dict[str, DataFrame], out_dir: str) -> None:
-    """S9 — one dataset per layer (points/lines/areas/roads/...)."""
+    """S9 — one dataset per layer, conformed to the fixed per-layer schema
+    (the columnar stand-in for the 5 DBF schemas of WriterMPC.pm:28-89)."""
     for name, df in layers.items():
-        df.write.mode("overwrite").parquet(f"{out_dir}/{name}")
+        out = conform_to_layer(df, name) if name in LAYER_SCHEMAS else df
+        out.write.mode("overwrite").parquet(f"{out_dir}/{name}")
 
 
 def render_mp_points(rows, default_level: int = 0) -> str:

@@ -238,3 +238,42 @@ class TestStreetAbbrev:
 
         # bare type token has neither prefix nor postfix → skipped
         assert clear_street("улица") == "улица"
+
+
+class TestLayerSchemas:
+    def test_fixed_schemas_match_reference_spec(self):
+        from osm2mp_spark.plans.sinks import LAYER_SCHEMAS
+
+        assert set(LAYER_SCHEMAS) == {
+            "points", "areas", "lines", "roads", "addr_pseudoroads"
+        }
+        assert [f.name for f in LAYER_SCHEMAS["lines"].fields] == [
+            "NAME", "GRMN_TYPE"
+        ]
+        roads = [f.name for f in LAYER_SCHEMAS["roads"].fields]
+        assert roads[:4] == ["NAME", "GRMN_TYPE", "ROUTE_LVL", "SPD_LIMIT"]
+        assert "ACC_MASK" in roads and "TURN_RSTRS" in roads
+        # pseudoroads extend roads (WriterMPC.pm:75-89)
+        pseudo = [f.name for f in LAYER_SCHEMAS["addr_pseudoroads"].fields]
+        assert pseudo[: len(roads)] == roads
+        assert pseudo[-2:] == ["Z_LVL_STRT", "Z_LVL_END"]
+        # ACC_MASK is the 10-char mpc flag string
+        acc = next(f for f in LAYER_SCHEMAS["roads"].fields if f.name == "ACC_MASK")
+        assert acc.metadata["dbf_width"] == 10
+
+    def test_conform_fills_missing_and_keeps_extras(self, spark, tmp_path):
+        from osm2mp_spark.plans.sinks import conform_to_layer, write_layers
+
+        df = spark.createDataFrame(
+            [("Main St", "RESIDENTIAL", 42, 1.0, 2.0)],
+            "name string, grmn_type string, link_id bigint, lon double, lat double",
+        )
+        out = conform_to_layer(df, "roads")
+        assert out.columns[:2] == ["NAME", "GRMN_TYPE"]
+        assert out.columns[-2:] == ["lon", "lat"]
+        row = out.first()
+        assert row.NAME == "Main St" and row.LINK_ID == 42
+        assert row.SPD_LIMIT is None  # missing → NULL
+        write_layers({"roads": df}, str(tmp_path / "layers"))
+        back = spark.read.parquet(str(tmp_path / "layers" / "roads"))
+        assert back.count() == 1 and "ACC_MASK" in back.columns
