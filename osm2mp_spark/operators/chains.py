@@ -167,6 +167,7 @@ def merge_roads(
         func.select(F.col("succ").alias("pred"), F.col("pred").alias("succ"))
     )
     labels = roads.select("road_id").withColumn("label", F.col("road_id"))
+    prev_sum = None
     for _ in range(max_rounds):
         nb = (
             labels.join(und, labels.road_id == und.pred, "inner")
@@ -184,15 +185,14 @@ def merge_roads(
             l2, merged.label == l2.j_road, "left"
         ).select("road_id", F.least("label", "j_label").alias("label"))
         new = new.localCheckpoint(eager=True)
-        n_changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "road_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        # labels only ever DECREASE (min-propagation), so their total is a
+        # strictly monotone convergence witness: one cheap agg on the
+        # checkpointed frame instead of a self-join count per round
+        s = new.agg(F.sum("label").alias("s")).first()["s"]
         labels = new
-        if n_changed == 0:
+        if prev_sum is not None and s == prev_sum:
             break
+        prev_sum = s
     # head per component: the unique no-predecessor road (path start) when
     # one exists, else the component's min label (cycle break point)
     starts = (
