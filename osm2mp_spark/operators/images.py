@@ -153,15 +153,47 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     )
 
 
-def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame sampling — STUB. No video codec ships in this container.
+FRAME_SCHEMA = (
+    "video_id string, frame_no int, w int, h int, mean_gray double, "
+    "frame_png binary"
+)
 
-    Intended contract: input (video_id string, bytes binary, fmt string),
-    mapInPandas kernel decodes container → yields (video_id, frame_no,
-    frame_bytes) every `every_n` frames, partitioned by video_id so one
-    video never splits across batches."""
-    raise NotImplementedError(
-        "video codecs unavailable in this environment; the mapInPandas "
-        "contract is documented above and the image path (decode/resize/"
-        "features) demonstrates the identical plumbing"
-    )
+
+def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling over the FVID container (the sandbox stand-in
+    for a real codec — none ships here; swap `fvid_header`/`fvid_frame`
+    for a PyAV/ffmpeg seek at deployment, the Spark plumbing is identical).
+
+    Input (video_id, bytes, ...); mapInPandas kernel reads each
+    container's header and SEEK-extracts every `every_n`-th frame — the
+    untouched frames' bytes are never decoded. One row per sampled frame
+    with the per-frame mean and a real PNG re-encode. Rows are independent
+    per video → zero shuffle."""
+    import pandas as pd
+
+    from ..shipping import ensure_shipped
+    from ..sources.images import encode_png, fvid_frame, fvid_header
+
+    ensure_shipped(df.sparkSession)
+
+    def kernel(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                data = bytes(r.bytes)
+                w, h, n = fvid_header(data)
+                for f in range(0, n, every_n):
+                    px = fvid_frame(data, f)
+                    rows.append(
+                        (r.video_id, f, w, h,
+                         float(px.astype(np.float64).mean()),
+                         encode_png(px))
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["video_id", "frame_no", "w", "h", "mean_gray",
+                             "frame_png"],
+                )
+
+    return df.select("video_id", "bytes").mapInPandas(kernel, schema=FRAME_SCHEMA)

@@ -58,3 +58,29 @@ def image_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(ROUND(AVG(std_gray) * 100) AS BIGINT)").alias("avg_std_x100"),
         )
     )
+
+
+@register("video_frame_sample")
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling over the FVID container: generate sf-scaled
+    videos executor-side, seek-extract every 6th frame (untouched frames'
+    bytes never decoded), per-(video) frame stats. Bytes are pruned before
+    the aggregation — only the tiny per-frame stats shuffle."""
+    from ..operators.images import sample_frames
+    from ..sources.images import generate_videos_df
+
+    n = max(8, _n_for(spark, sf_dir) // 50)
+    vids = generate_videos_df(spark, n, frames_per_video=24)
+    frames = sample_frames(vids, every_n=6)
+    return (
+        frames.drop("frame_png")
+        .groupBy("video_id")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.expr("CAST(ROUND(AVG(mean_gray) * 100) AS BIGINT)").alias(
+                "avg_gray_x100"
+            ),
+            F.min("frame_no").alias("first_frame"),
+            F.max("frame_no").alias("last_frame"),
+        )
+    )

@@ -238,3 +238,73 @@ def generate_images_df(spark, n: int, partitions: int | None = None):
             yield pd.DataFrame(rows)
 
     return rng.mapInPandas(gen, schema=IMAGES_SCHEMA)
+
+
+# --- FVID: deterministic raw-frame video container ----------------------------
+# b"FVID" + <HHH>(w, h, n_frames) + n_frames * (w*h*3 raw uint8 RGB).
+# Like FJPG this is the sandbox stand-in for a real codec (none ships
+# here), but the CONTAINER mechanics are real: frames sit at computable
+# offsets, so frame sampling seeks without decoding the rest.
+
+FVID_MAGIC = b"FVID"
+_FVID_HDR = struct.calcsize("<HHH")
+
+
+def frame_pixels(video_id: str, frame_no: int, w: int, h: int) -> np.ndarray:
+    """Deterministic frame content: per-frame shifted gradient + noise."""
+    px = pixels_for(f"{video_id}/f{frame_no}", w, h)
+    # temporal signal: brightness ramps with frame_no so motion statistics
+    # (mean over time) are testable
+    return ((px.astype(np.int32) + frame_no * 3) % 256).astype(np.uint8)
+
+
+def encode_fvid(video_id: str, w: int, h: int, n_frames: int) -> bytes:
+    body = b"".join(
+        frame_pixels(video_id, i, w, h).tobytes() for i in range(n_frames)
+    )
+    return FVID_MAGIC + struct.pack("<HHH", w, h, n_frames) + body
+
+
+def fvid_header(data: bytes) -> tuple[int, int, int]:
+    assert data[:4] == FVID_MAGIC, "not an FVID payload"
+    return struct.unpack("<HHH", data[4 : 4 + _FVID_HDR])
+
+
+def fvid_frame(data: bytes, frame_no: int) -> np.ndarray:
+    """Seek-extract ONE frame without touching the others."""
+    w, h, n = fvid_header(data)
+    if not 0 <= frame_no < n:
+        raise IndexError(frame_no)
+    sz = w * h * 3
+    off = 4 + _FVID_HDR + frame_no * sz
+    return np.frombuffer(data[off : off + sz], dtype=np.uint8).reshape(h, w, 3)
+
+
+VIDEOS_SCHEMA = "video_id string, bytes binary, w int, h int, n_frames int"
+
+
+def generate_videos_df(spark, n: int, frames_per_video: int = 24,
+                       w: int = 24, h: int = 16, partitions: int | None = None):
+    """Executor-side deterministic video table (same shape as the image
+    generator: ids drive content, no data crosses the driver)."""
+    import pandas as pd
+
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    base = spark.range(n).repartition(partitions or 8)
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for idx in pdf["id"]:
+                vid = f"vid{int(idx):06d}"
+                rows.append(
+                    (vid, encode_fvid(vid, w, h, frames_per_video), w, h,
+                     frames_per_video)
+                )
+            yield pd.DataFrame(
+                rows, columns=["video_id", "bytes", "w", "h", "n_frames"]
+            )
+
+    return base.mapInPandas(gen, schema=VIDEOS_SCHEMA)

@@ -99,12 +99,13 @@ class TestSparkImagePath:
         px = decode_png(bytes(out.iloc[0].out_bytes))
         assert px.shape == (16, 16, 3)
 
-    def test_frame_sampling_stub(self, spark):
+    def test_frame_sampling_rejects_non_video(self, spark):
         from osm2mp_spark.operators.images import sample_frames
-        from osm2mp_spark.sources.images import generate_images_df
 
-        with pytest.raises(NotImplementedError):
-            sample_frames(generate_images_df(spark, 3))
+        # images table has no video_id column — the contract is explicit
+        df = spark.createDataFrame([("x", b"NOTAVID")], "video_id string, bytes binary")
+        with pytest.raises(Exception, match="FVID|assert"):
+            sample_frames(df).collect()
 
     def test_corrupt_bytes_surface_cleanly(self, spark):
         from osm2mp_spark.operators.images import verify_images
@@ -116,3 +117,49 @@ class TestSparkImagePath:
         )
         with pytest.raises(Exception):
             verify_images(df).collect()
+
+
+class TestVideoFrames:
+    def test_fvid_seek_matches_generator(self):
+        import numpy as np
+
+        from osm2mp_spark.sources.images import (
+            encode_fvid,
+            frame_pixels,
+            fvid_frame,
+            fvid_header,
+        )
+
+        data = encode_fvid("v1", 8, 6, 5)
+        assert fvid_header(data) == (8, 6, 5)
+        for f in (0, 2, 4):
+            assert np.array_equal(fvid_frame(data, f), frame_pixels("v1", f, 8, 6))
+
+    def test_sample_frames_spark(self, spark):
+        from osm2mp_spark.operators.images import sample_frames
+        from osm2mp_spark.sources.images import (
+            decode_png,
+            frame_pixels,
+            generate_videos_df,
+        )
+        import numpy as np
+
+        vids = generate_videos_df(spark, 4, frames_per_video=10, w=8, h=6)
+        out = sample_frames(vids, every_n=4).toPandas()
+        # 10 frames, every 4th → frames 0, 4, 8 per video
+        assert sorted(out[out.video_id == "vid000000"].frame_no) == [0, 4, 8]
+        assert len(out) == 4 * 3
+        # PNG re-encode round-trips to the deterministic frame content
+        row = out[(out.video_id == "vid000001") & (out.frame_no == 4)].iloc[0]
+        px = decode_png(bytes(row.frame_png))
+        assert np.array_equal(px, frame_pixels("vid000001", 4, 8, 6))
+        assert row.mean_gray == px.astype(float).mean()
+
+    def test_video_query_runs(self, spark):
+        import __spark_entry__ as E
+
+        out = E.queries()["video_frame_sample"](spark, "/root/testdata/sf0.001")
+        pdf = out.toPandas()
+        assert len(pdf) >= 8
+        assert (pdf.n_sampled == 4).all()  # 24 frames / every 6 → 0,6,12,18
+        assert (pdf.first_frame == 0).all() and (pdf.last_frame == 18).all()
