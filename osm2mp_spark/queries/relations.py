@@ -716,3 +716,135 @@ def nested_relation_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         "THEN CAST(o_orderkey - 1 AS BIGINT) END AS member_rel",
     )
     return relation_tile_closure(members, seed)
+
+
+# ---------------------------------------------------------------------------
+# S3/S4: way + relation sanitation (lib/OSM.pm:210-251)
+# ---------------------------------------------------------------------------
+
+@register(
+    "way_sanitation",
+    oracle=f"""
+WITH nodes AS (SELECT CAST(p_partkey AS BIGINT) AS node_id FROM part),
+refs AS (
+  SELECT CAST(l_orderkey AS BIGINT) AS way_id,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY {_SEQ}) AS pos,
+         CAST((l_partkey % 60) * 40 + 1 AS BIGINT) AS node_id
+  FROM lineitem),
+existing AS (
+  SELECT r.way_id, r.pos, r.node_id
+  FROM refs r JOIN nodes n ON r.node_id = n.node_id),
+deduped AS (
+  SELECT way_id, pos, node_id,
+         LAG(node_id) OVER (PARTITION BY way_id ORDER BY pos) AS prev_id
+  FROM existing),
+chain AS (
+  SELECT way_id, node_id,
+         ROW_NUMBER() OVER (PARTITION BY way_id ORDER BY pos) AS new_pos
+  FROM deduped WHERE prev_id IS NULL OR node_id <> prev_id),
+sized AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY way_id) AS n FROM chain)
+SELECT way_id, CAST(new_pos AS BIGINT) AS new_pos, node_id
+FROM sized WHERE n >= 2
+""",
+)
+def way_sanitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 (lib/OSM.pm:210-228, add_way): drop refs to non-existent nodes
+    (semi-join against the node table), collapse CONSECUTIVE duplicate
+    nodes (lag window), drop ways left with < 2 vertices. The existence
+    check is the only join; dedupe + renumber ride the same per-way
+    window partition."""
+    nodes = spark.read.parquet(f"{sf_dir}/part.parquet").selectExpr(
+        "CAST(p_partkey AS BIGINT) AS node_id"
+    )
+    refs = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+        "CAST(l_orderkey AS BIGINT) AS way_id",
+        f"ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY {_SEQ}) AS pos",
+        "CAST((l_partkey % 60) * 40 + 1 AS BIGINT) AS node_id",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("way_id").orderBy("pos")
+    existing = refs.join(nodes, "node_id")
+    chain = (
+        existing.withColumn("prev_id", F.lag("node_id").over(w))
+        .filter(F.col("prev_id").isNull() | (F.col("node_id") != F.col("prev_id")))
+        .withColumn("new_pos", F.row_number().over(w).cast("bigint"))
+    )
+    wn = Window.partitionBy("way_id")
+    return (
+        chain.withColumn("n", F.count("*").over(wn))
+        .filter("n >= 2")
+        .select("way_id", "new_pos", "node_id")
+    )
+
+
+@register(
+    "relation_sanitation",
+    oracle="""
+WITH nodes AS (SELECT CAST(c_custkey AS BIGINT) AS node_id FROM customer),
+ways AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS way_id FROM lineitem),
+rels AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS rel_id, o_orderkey AS okey,
+         CAST(o_custkey * 2 AS BIGINT) AS node_ref,
+         CAST(o_orderkey * 3 % 20000 AS BIGINT) AS way_ref
+  FROM orders WHERE o_orderkey % 11 <> 0),
+members AS (
+  SELECT rel_id, 'node' AS kind, node_ref AS member_ref FROM rels
+  UNION ALL
+  SELECT rel_id, 'way', way_ref FROM rels WHERE okey % 2 = 0
+  UNION ALL
+  SELECT rel_id, 'relation', rel_id - 1 FROM rels WHERE okey % 3 = 0),
+kept AS (
+  SELECT m.rel_id, m.kind, m.member_ref
+  FROM members m
+  LEFT JOIN nodes n ON m.kind = 'node' AND m.member_ref = n.node_id
+  LEFT JOIN ways w ON m.kind = 'way' AND m.member_ref = w.way_id
+  WHERE m.kind = 'relation' OR n.node_id IS NOT NULL OR w.way_id IS NOT NULL)
+SELECT rel_id, kind, member_ref FROM kept
+""",
+)
+def relation_sanitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 (lib/OSM.pm:231-251, add_relation): untagged relations dropped
+    (the %11 stand-in), node/way members kept only when the referenced
+    object exists, relation-type members always kept (the reference's
+    `relation => 1` branch); empty relations vanish naturally (no rows)."""
+    nodes = spark.read.parquet(f"{sf_dir}/customer.parquet").selectExpr(
+        "CAST(c_custkey AS BIGINT) AS node_id"
+    )
+    ways = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .selectExpr("CAST(l_orderkey AS BIGINT) AS way_id")
+        .distinct()
+    )
+    rels = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        "o_orderkey % 11 <> 0"
+    ).selectExpr(
+        "CAST(o_orderkey AS BIGINT) AS rel_id",
+        "o_orderkey AS okey",
+        "CAST(o_custkey * 2 AS BIGINT) AS node_ref",
+        "CAST(o_orderkey * 3 % 20000 AS BIGINT) AS way_ref",
+    )
+    members = (
+        rels.selectExpr("rel_id", "'node' AS kind", "node_ref AS member_ref")
+        .unionByName(
+            rels.filter("okey % 2 = 0").selectExpr(
+                "rel_id", "'way' AS kind", "way_ref AS member_ref"
+            )
+        )
+        .unionByName(
+            rels.filter("okey % 3 = 0").selectExpr(
+                "rel_id", "'relation' AS kind", "rel_id - 1 AS member_ref"
+            )
+        )
+    )
+    node_ok = members.filter("kind = 'node'").join(
+        nodes, members.member_ref == nodes.node_id
+    ).select("rel_id", "kind", "member_ref")
+    way_ok = members.filter("kind = 'way'").join(
+        ways, members.member_ref == ways.way_id
+    ).select("rel_id", "kind", "member_ref")
+    rel_ok = members.filter("kind = 'relation'").select(
+        "rel_id", "kind", "member_ref"
+    )
+    return node_ok.unionByName(way_ok).unionByName(rel_ok)

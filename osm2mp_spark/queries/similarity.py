@@ -281,3 +281,127 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.withColumn("cosine", cos).filter(F.col("cosine") >= 0.35).select(
         F.col("vec_a").cast("bigint"), F.col("vec_b").cast("bigint"), "cosine"
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN: coarse-quantizer buckets (argmax centroid dot) + probed search.
+# The centroid table is a broadcast dimension (VALUES in the oracle);
+# centroid vectors derive from k via the same integer family as the LSH
+# hyperplanes, so every dot is an exact integer sum — engine-identical.
+# ---------------------------------------------------------------------------
+
+_N_CENTROIDS = 8
+_N_PROBE = 2
+_IVF_TOP_K = 5
+
+_CENT_DOT_SPARK = (
+    "aggregate(zip_with(q, sequence(1, size(q)), (x, i) -> "
+    "x * ((i * (k + 7) * 48271) % 997 - 498)), "
+    "CAST(0 AS BIGINT), (a, x) -> a + x)"
+)
+_CENT_DOT_DUCK = (
+    "LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q, RANGE(1, LEN(q) + 1)), "
+    "t -> t[1] * ((t[2] * (k + 7) * 48271) % 997 - 498)))"
+)
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e3) AS BIGINT)) AS q
+  FROM embeddings),
+norms AS (
+  SELECT vec_id, q, LIST_SUM(LIST_TRANSFORM(q, x -> x * x)) AS nrm FROM e),
+cent AS (SELECT UNNEST(range(0, {_N_CENTROIDS})) AS k),
+scored AS (
+  SELECT n.vec_id, n.q, n.nrm, c.k,
+         {_CENT_DOT_DUCK} AS cdot,
+         ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                            ORDER BY {_CENT_DOT_DUCK} DESC, c.k) AS rn
+  FROM norms n CROSS JOIN cent c),
+assign AS (SELECT vec_id, q, nrm, k AS bucket FROM scored WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS qid, q AS qq, nrm AS qn, k AS bucket
+  FROM scored WHERE vec_id < {_N_QUERY} AND rn <= {_N_PROBE}),
+cand AS (
+  SELECT p.qid, p.qq, p.qn, a.vec_id AS vid, a.q, a.nrm
+  FROM probes p JOIN assign a ON p.bucket = a.bucket
+  WHERE a.vec_id <> p.qid),
+cos AS (
+  SELECT qid, vid,
+         CAST(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(qq, q), t -> t[1] * t[2]))
+              AS DOUBLE)
+           / (SQRT(CAST(qn AS DOUBLE)) * SQRT(CAST(nrm AS DOUBLE))) AS cosine
+  FROM cand),
+ranked AS (
+  SELECT qid, vid, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, vid) AS rn
+  FROM cos)
+SELECT CAST(qid AS BIGINT) AS query_id, CAST(vid AS BIGINT) AS neighbor_id,
+       cosine, CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= {_IVF_TOP_K}
+""",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (the coarse-quantizer scale path next to LSH): every vector
+    is assigned to its argmax-dot centroid bucket (8 deterministic integer
+    centroids — at deployment these come from a sampled k-means, the plan
+    shape is identical); queries probe their {_N_PROBE} best buckets and
+    brute-force exact cosine only within the probed candidates. The
+    centroid scoring is a broadcast cross join (8 rows); the candidate
+    join is bucket-keyed equi — per-bucket population n/{_N_CENTROIDS}
+    bounds the scan."""
+    e = _emb(spark, sf_dir).select("vec_id", F.expr(_QUANT).alias("q"))
+    norms = e.withColumn(
+        "nrm",
+        F.expr("aggregate(transform(q, x -> x * x), CAST(0 AS BIGINT), (a, x) -> a + x)"),
+    )
+    cent = spark.range(_N_CENTROIDS).selectExpr("CAST(id AS INT) AS k")
+    scored = (
+        norms.crossJoin(F.broadcast(cent))
+        .withColumn("cdot", F.expr(_CENT_DOT_SPARK))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("cdot").desc(), F.col("k")
+                )
+            ),
+        )
+    )
+    assign = scored.filter("rn = 1").select(
+        "vec_id", "q", "nrm", F.col("k").alias("bucket")
+    )
+    probes = scored.filter(f"vec_id < {_N_QUERY} AND rn <= {_N_PROBE}").select(
+        F.col("vec_id").alias("qid"),
+        F.col("q").alias("qq"),
+        F.col("nrm").alias("qn"),
+        F.col("k").alias("bucket"),
+    )
+    cand = probes.join(assign, "bucket").filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    cos = cand.select(
+        "qid",
+        F.col("vec_id").alias("vid"),
+        (
+            F.expr(
+                "aggregate(zip_with(qq, q, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"
+            ).cast("double")
+            / (F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("nrm").cast("double")))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vid"))
+    return (
+        cos.withColumn("rn", F.row_number().over(w))
+        .filter(f"rn <= {_IVF_TOP_K}")
+        .select(
+            F.col("qid").cast("bigint").alias("query_id"),
+            F.col("vid").cast("bigint").alias("neighbor_id"),
+            "cosine",
+            F.col("rn").cast("bigint").alias("rank"),
+        )
+    )
