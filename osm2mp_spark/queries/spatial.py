@@ -608,3 +608,51 @@ def xnode_marking(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("pos") == F.col("n") - 1) & (F.col("ls") < 1))
         | ((F.col("pos") == F.col("n") - 2) & (F.col("ls") == 0))
     ).select("chain_id", F.col("pos").cast("bigint"), "lon", "lat")
+
+
+# ---------------------------------------------------------------------------
+# J2 on a CONCAVE area: the PIP index machinery against a non-convex ring
+# ---------------------------------------------------------------------------
+
+# U-shaped concave area with a square hole in its left arm — exercises the
+# ray-cast refine on a polygon the convex edge test cannot express
+_CONCAVE_CITY_OUTER = [
+    (10.0, -60.0), (70.0, -60.0), (70.0, -10.0), (55.0, -10.0),
+    (55.0, -45.0), (25.0, -45.0), (25.0, -10.0), (10.0, -10.0),
+    (10.0, -60.0),
+]
+_CONCAVE_CITY_HOLE = [
+    (14.0, -55.0), (21.0, -55.0), (21.0, -48.0), (14.0, -48.0), (14.0, -55.0),
+]
+
+
+@register(
+    "pip_concave_city",
+    oracle=f"""
+WITH {_PTS_CTE}
+SELECT point_id, {ring_inside_expr('lon', 'lat', _CONCAVE_CITY_OUTER,
+                                   [_CONCAVE_CITY_HOLE])} AS inside
+FROM pts
+""",
+)
+def pip_concave_city(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 over a CONCAVE polygon with a hole: the same two-phase PIP
+    machinery (cell cover + Arrow ray-cast refine — PolygonIndex already
+    ray-casts, so concavity is native); the oracle is the pure-SQL
+    ray-cast parity predicate. Output: every point with its containment
+    bit (on-edge counts inside per is_inside_bounds)."""
+    from ..spatial.index import Polygon
+
+    idx = PolygonIndex(
+        [Polygon("ucity", [_CONCAVE_CITY_OUTER], [_CONCAVE_CITY_HOLE])]
+    )
+    pts = customer_points(spark, sf_dir)
+    hits = (
+        pip_join(pts, idx, how="all")
+        .select("point_id")
+        .distinct()
+        .withColumn("__in", F.lit(True))
+    )
+    return pts.join(hits, "point_id", "left").select(
+        "point_id", F.coalesce("__in", F.lit(False)).alias("inside")
+    )
