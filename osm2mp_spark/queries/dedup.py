@@ -172,12 +172,12 @@ hexpos AS (SELECT UNNEST(generate_series(1, 8)) AS p)
     "dedup_simhash",
     oracle=f"""
 WITH toks AS (
-  SELECT doc_id, t.w
+  SELECT doc_id, md5(t.w) AS h
   FROM documents, UNNEST(string_split(text, ' ')) AS t(w)),
 {_HEXPOS_CTE},
 digits AS (
   SELECT doc_id, p,
-         STRPOS('0123456789abcdef', SUBSTR(md5(w), p, 1)) - 1 AS v
+         STRPOS('0123456789abcdef', SUBSTR(h, p, 1)) - 1 AS v
   FROM toks CROSS JOIN hexpos),
 bits AS (
   SELECT doc_id, (p - 1) * 4 + k AS bit_no,
@@ -196,15 +196,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure integer hex-digit decomposition — portable and shuffle-light
     (one groupBy per doc)."""
     d = _docs(spark, sf_dir)
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    # md5 hoisted: computed ONCE per token, not once per (token, hex pos)
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).select("doc_id", F.expr("md5(cast(w AS binary))").alias("h"))
     hexpos = d.sparkSession.range(1, 9).select(F.col("id").cast("int").alias("p"))
     ks = d.sparkSession.range(0, 4).select(F.col("id").cast("int").alias("k"))
     digits = toks.crossJoin(F.broadcast(hexpos)).select(
         "doc_id",
         "p",
-        F.expr(
-            "instr('0123456789abcdef', substr(md5(cast(w AS binary)), p, 1)) - 1"
-        ).alias("v"),
+        F.expr("instr('0123456789abcdef', substr(h, p, 1)) - 1").alias("v"),
     )
     bits = digits.crossJoin(F.broadcast(ks)).select(
         "doc_id",
@@ -304,12 +305,12 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "simhash_pairs",
     oracle="""
 WITH toks AS (
-  SELECT doc_id, t.w
+  SELECT doc_id, md5(t.w) AS h
   FROM documents, UNNEST(string_split(text, ' ')) AS t(w)),
 hexpos AS (SELECT UNNEST(generate_series(1, 8)) AS p),
 digits AS (
   SELECT doc_id, p,
-         STRPOS('0123456789abcdef', SUBSTR(md5(w), p, 1)) - 1 AS v
+         STRPOS('0123456789abcdef', SUBSTR(h, p, 1)) - 1 AS v
   FROM toks CROSS JOIN hexpos),
 bits AS (
   SELECT doc_id, (p - 1) * 4 + k AS bit_no,

@@ -327,13 +327,26 @@ def cityside_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = li.withColumn(
         "pos", (F.row_number().over(w) - 1).cast("bigint")
     ).withColumn("n", F.count("*").over(wn).cast("bigint"))
-    s1 = ranked.filter(F.col("pos") == F.expr("CAST(FLOOR(n / 3) AS BIGINT)")).select(
-        "chain_id", (F.col("chain_id") * 10 + 1).alias("point_id"), "vkey"
+    # single pass: each vertex's sample-slot memberships as an array →
+    # explode (the window subtree evaluates ONCE; a 2-way filter union
+    # would shuffle and evaluate it twice — same trick as clip_chains)
+    slots = F.filter(
+        F.array(
+            F.when(F.col("pos") == F.expr("CAST(FLOOR(n / 3) AS BIGINT)"), 1),
+            F.when(
+                F.col("pos") == F.expr("CAST(FLOOR(2 * n / 3) AS BIGINT)"), 2
+            ),
+        ),
+        lambda x: x.isNotNull(),
     )
-    s2 = ranked.filter(
-        F.col("pos") == F.expr("CAST(FLOOR(2 * n / 3) AS BIGINT)")
-    ).select("chain_id", (F.col("chain_id") * 10 + 2).alias("point_id"), "vkey")
-    pts = with_derived_position(s1.unionByName(s2), "vkey").drop("vkey")
+    samp = ranked.select(
+        "chain_id", "vkey", F.explode(slots).alias("slot")
+    ).select(
+        "chain_id",
+        (F.col("chain_id") * 10 + F.col("slot")).alias("point_id"),
+        "vkey",
+    )
+    pts = with_derived_position(samp, "vkey").drop("vkey")
     hits = (
         pip_join(pts, _city_index(), how="all").select("point_id").distinct()
         .withColumn("__inc", F.lit(True))
