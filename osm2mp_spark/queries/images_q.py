@@ -84,3 +84,41 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("frame_no").alias("last_frame"),
         )
     )
+
+
+@register("audio_verify")
+def audio_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio payload invariant over the distributed-generated WAV table:
+    decoded PCM byte-matches the deterministic generator (lossless codec →
+    exact equality), rate matches metadata. Output: pass counts."""
+    from ..operators.audio import verify_audio
+    from ..sources.audio import generate_audio_df
+
+    clips = generate_audio_df(spark, max(20, _n_for(spark, sf_dir) // 10))
+    v = verify_audio(clips)
+    return v.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("samples_ok").cast("int")).alias("n_samples_ok"),
+        F.sum(F.col("rate_ok").cast("int")).alias("n_rate_ok"),
+    )
+
+
+@register("audio_features")
+def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio scalar features (RMS / zero-crossing rate / peak / duration)
+    aggregated into distribution buckets — bytes pruned before the
+    aggregation, only tiny per-clip stats shuffle."""
+    from ..operators.audio import extract_audio_features
+    from ..sources.audio import generate_audio_df
+
+    clips = generate_audio_df(spark, max(20, _n_for(spark, sf_dir) // 10))
+    f = extract_audio_features(clips)
+    return (
+        f.withColumn("rms_bucket", F.expr("CAST(FLOOR(rms / 2000) AS INT)"))
+        .groupBy("rms_bucket")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.expr("CAST(ROUND(AVG(zcr) * 1000) AS BIGINT)").alias("avg_zcr_x1000"),
+            F.max("peak").alias("max_peak"),
+        )
+    )

@@ -163,3 +163,61 @@ class TestVideoFrames:
         assert len(pdf) >= 8
         assert (pdf.n_sampled == 4).all()  # 24 frames / every 6 → 0,6,12,18
         assert (pdf.first_frame == 0).all() and (pdf.last_frame == 18).all()
+
+
+class TestAudio:
+    def test_wav_roundtrip_exact(self):
+        from osm2mp_spark.sources.audio import (
+            audio_samples,
+            decode_wav,
+            encode_wav,
+        )
+
+        x = audio_samples("a1", 4000)
+        got, rate = decode_wav(encode_wav(x, 8000))
+        assert rate == 8000
+        assert np.array_equal(got, x)
+
+    def test_wav_rejects_garbage(self):
+        from osm2mp_spark.sources.audio import decode_wav
+
+        with pytest.raises(AssertionError):
+            decode_wav(b"NOTAWAV" + b"\x00" * 40)
+
+    def test_spark_verify_features_resample(self, spark):
+        from osm2mp_spark.operators.audio import (
+            extract_audio_features,
+            resample_audio,
+            verify_audio,
+        )
+        from osm2mp_spark.sources.audio import (
+            audio_samples,
+            decode_wav,
+            generate_audio_df,
+        )
+
+        clips = generate_audio_df(spark, 12, seconds=0.25, partitions=3)
+        v = verify_audio(clips).toPandas()
+        assert len(v) == 12 and v.samples_ok.all() and v.rate_ok.all()
+
+        f = extract_audio_features(clips).toPandas()
+        x = audio_samples("aud000003", 2000).astype(float)
+        expected_rms = float(np.sqrt(np.mean(x * x)))
+        got = f[f.audio_id == "aud000003"].iloc[0]
+        assert got.rms == pytest.approx(expected_rms)
+        assert 0.0 < got.zcr < 1.0
+        assert got.duration_ms == pytest.approx(250.0)
+
+        r = resample_audio(clips, factor=2).toPandas()
+        row = r[r.audio_id == "aud000005"].iloc[0]
+        assert row.out_rate == 4000 and row.out_n == 1000
+        out, rate = decode_wav(bytes(row.out_bytes))
+        assert np.array_equal(out, audio_samples("aud000005", 2000)[::2])
+
+    def test_audio_queries_run(self, spark):
+        import __spark_entry__ as E
+
+        v = E.queries()["audio_verify"](spark, "/root/testdata/sf0.001").first()
+        assert v.n == v.n_samples_ok == v.n_rate_ok > 0
+        f = E.queries()["audio_features"](spark, "/root/testdata/sf0.001").toPandas()
+        assert f.n_clips.sum() == v.n
