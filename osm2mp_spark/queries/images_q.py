@@ -113,12 +113,14 @@ def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     clips = generate_audio_df(spark, max(20, _n_for(spark, sf_dir) // 10))
     f = extract_audio_features(clips)
+    # zero-crossing rate tracks the clip's dominant frequency (the seeded
+    # tone varies 100..2140 Hz), so zcr buckets spread the distribution
     return (
-        f.withColumn("rms_bucket", F.expr("CAST(FLOOR(rms / 2000) AS INT)"))
-        .groupBy("rms_bucket")
+        f.withColumn("zcr_bucket", F.expr("CAST(FLOOR(zcr * 20) AS INT)"))
+        .groupBy("zcr_bucket")
         .agg(
             F.count("*").alias("n_clips"),
-            F.expr("CAST(ROUND(AVG(zcr) * 1000) AS BIGINT)").alias("avg_zcr_x1000"),
+            F.expr("CAST(ROUND(AVG(rms)) AS BIGINT)").alias("avg_rms"),
             F.max("peak").alias("max_peak"),
         )
     )
