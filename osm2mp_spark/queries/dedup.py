@@ -371,3 +371,103 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()  # a pair can collide in several bands
     )
     return cand.filter("hamming <= 6")
+
+
+# ---------------------------------------------------------------------------
+# Wide-signature simhash (60-bit) near-dup pairs — the scale-correct
+# configuration: at 2^60 the signature space keeps per-band buckets thin
+# (widths 8-9 bits → ≥256 buckets/band), unlike the 32-bit demo where a
+# collision-rich corpus piles up candidates. 60 bits (15 md5 hex digits)
+# rather than 64 keeps every engine's BIGINT arithmetic away from the
+# sign bit. Same lossless 7-band pigeonhole for Hamming ≤ 6.
+# ---------------------------------------------------------------------------
+
+_SIM64_SQL = """
+toks AS (
+  SELECT doc_id, md5(t.w) AS h
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(w)),
+hexpos AS (SELECT UNNEST(generate_series(1, 15)) AS p),
+digits AS (
+  SELECT doc_id, p,
+         STRPOS('0123456789abcdef', SUBSTR(h, p, 1)) - 1 AS v
+  FROM toks CROSS JOIN hexpos),
+bits AS (
+  SELECT doc_id, (p - 1) * 4 + k AS bit_no,
+         CASE WHEN ((v >> (3 - k)) & 1) = 1 THEN 1 ELSE -1 END AS s
+  FROM digits, UNNEST(generate_series(0, 3)) AS g(k)),
+votes AS (SELECT doc_id, bit_no, SUM(s) AS vote FROM bits GROUP BY doc_id, bit_no),
+sh AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(SUM(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << (59 - bit_no)
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id)
+"""
+
+
+@register(
+    "simhash_wide_pairs",
+    oracle=f"""
+WITH {_SIM64_SQL}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 6
+""",
+)
+def simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit simhash near-dup pairs, Hamming ≤ 6, via the lossless 7-band
+    pigeonhole equi-join (widths 9,9,9,9,8,8,8 → per-band buckets hold
+    n/2^8..n/2^9 docs). Oracle stays the all-pairs SQL, proving the
+    banding rewrite at the wider signature too."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).select("doc_id", F.expr("md5(cast(w AS binary))").alias("h"))
+    hexpos = d.sparkSession.range(1, 16).select(F.col("id").cast("int").alias("p"))
+    ks = d.sparkSession.range(0, 4).select(F.col("id").cast("int").alias("k"))
+    digits = toks.crossJoin(F.broadcast(hexpos)).select(
+        "doc_id", "p",
+        F.expr("instr('0123456789abcdef', substr(h, p, 1)) - 1").alias("v"),
+    )
+    bits = digits.crossJoin(F.broadcast(ks)).select(
+        "doc_id",
+        ((F.col("p") - 1) * 4 + F.col("k")).alias("bit_no"),
+        F.when(F.expr("((v >> (3 - k)) & 1) = 1"), F.lit(1))
+        .otherwise(F.lit(-1)).alias("s"),
+    )
+    votes = bits.groupBy("doc_id", "bit_no").agg(F.sum("s").alias("vote"))
+    sh = votes.groupBy(F.col("doc_id").cast("bigint").alias("doc_id")).agg(
+        F.sum(
+            F.when(
+                F.col("vote") > 0, F.expr("CAST(1 AS BIGINT) << (59 - bit_no)")
+            ).otherwise(F.lit(0))
+        ).cast("bigint").alias("simhash")
+    )
+    widths = [9, 9, 9, 9, 8, 8, 8]  # 7 bands > 6 max differing bits
+    offsets = [sum(widths[:i]) for i in range(len(widths))]
+    band_structs = ", ".join(
+        f"named_struct('band_no', {i}, 'band_val', "
+        f"shiftright(simhash, {off}) & {(1 << w) - 1})"
+        for i, (off, w) in enumerate(zip(offsets, widths))
+    )
+    bd = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.expr(f"array({band_structs})")).alias("bv"),
+    ).select("doc_id", "simhash", "bv.band_no", "bv.band_val")
+    a = bd.alias("a")
+    b = bd.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").alias("hamming"),
+        )
+        .distinct()
+        .filter("hamming <= 6")
+    )
