@@ -117,3 +117,25 @@ def spark_cell_expr(lon_col: str, lat_col: str, level: int = CELL_LEVEL_DEFAULT)
     ix = f"GREATEST(0L, LEAST({n - 1}L, CAST(FLOOR(({lon_col} + 180.0D) / 360.0D * {n}) AS BIGINT)))"
     iy = f"GREATEST(0L, LEAST({n - 1}L, CAST(FLOOR(({lat_col} + 90.0D) / 180.0D * {n}) AS BIGINT)))"
     return f"(CAST({level} AS BIGINT) << 58) | {spread(ix)} | {spread(iy, 1)}"
+
+
+def duck_cell_expr(lon_col: str, lat_col: str, level: int = CELL_LEVEL_DEFAULT) -> str:
+    """DuckDB twin of spark_cell_expr — identical integer bit-spread, DuckDB
+    literal/cast syntax (no 0L/D suffixes). Used by the cell_encode oracle."""
+    n = 1 << level
+
+    def spread(expr: str, shift: int = 0) -> str:
+        v = f"(CAST({expr} AS BIGINT) & 536870911)"
+        v = f"(({v} | ({v} << 16)) & 281470681808895)"
+        v = f"(({v} | ({v} << 8)) & 71777214294589695)"
+        v = f"(({v} | ({v} << 4)) & 1085102592571150095)"
+        v = f"(({v} | ({v} << 2)) & 3689348814741910323)"
+        v = f"(({v} | ({v} << 1)) & 6148914691236517205)"
+        return f"({v} << {shift})" if shift else v
+
+    ix = (f"GREATEST(CAST(0 AS BIGINT), LEAST(CAST({n - 1} AS BIGINT), "
+          f"CAST(FLOOR(({lon_col} + 180.0) / 360.0 * {n}) AS BIGINT)))")
+    iy = (f"GREATEST(CAST(0 AS BIGINT), LEAST(CAST({n - 1} AS BIGINT), "
+          f"CAST(FLOOR(({lat_col} + 90.0) / 180.0 * {n}) AS BIGINT)))")
+    return (f"((CAST({level} AS BIGINT) << 58) | {spread(ix)} | "
+            f"{spread(iy, 1)})")

@@ -669,3 +669,84 @@ def pip_concave_city(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.join(hits, "point_id", "left").select(
         "point_id", F.coalesce("__in", F.lit(False)).alias("inside")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cell encoding (the north star's H3/S2-style index) as a gated query
+# ---------------------------------------------------------------------------
+
+from ..geometry.cells import duck_cell_expr, spark_cell_expr  # noqa: E402
+
+
+@register(
+    "cell_encode",
+    oracle=f"""
+WITH {_PTS_CTE},
+cells AS (
+  SELECT point_id, {duck_cell_expr('lon', 'lat', 12)} AS cell_id FROM pts)
+SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(MIN(point_id) AS BIGINT) AS min_point
+FROM cells GROUP BY cell_id
+""",
+)
+def cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order cell encoding (level 12) — the JVM bit-spread expression
+    (whole-stage codegen, the coarse phase of every spatial join) grouped
+    into per-cell counts; the oracle is the identical integer arithmetic
+    in DuckDB syntax, so the ids are proven bit-equal cross-engine."""
+    pts = customer_points(spark, sf_dir)
+    return (
+        pts.withColumn("cell_id", F.expr(spark_cell_expr("lon", "lat", 12)))
+        .groupBy("cell_id")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.min("point_id").cast("bigint").alias("min_point"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# S5: .poly boundary source driving the general ring clip
+# ---------------------------------------------------------------------------
+
+# a concave pentagon-ish boundary delivered in the Osmosis .poly text
+# format (the reference's boundary input, lib/Boundary.pm:30-52)
+_POLY_TEXT = """test-boundary
+1
+   -150.0  -70.0
+   150.0   -70.0
+   150.0   40.0
+   0.0     -10.0
+   -150.0  40.0
+END
+END
+"""
+
+
+@register(
+    "clip_chains_poly",
+    oracle=None,  # assigned below (needs the parsed ring)
+)
+def clip_chains_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 + G2: boundary parsed from the Osmosis .poly TEXT format
+    (sources/boundary_io.read_poly — name line, section, coordinate rows,
+    END terminators, CW→CCW normalization), then the standard
+    keep-one-outside-vertex chain clip against the resulting CONCAVE ring
+    via the ray-cast predicate. Exact oracle shares the parsed ring."""
+    from ..sources.boundary_io import read_poly
+
+    ring = read_poly(_POLY_TEXT)
+    pts = lineitem_chain_points(spark, sf_dir)
+    return clip_chains_by_predicate(pts, ring_inside_expr("lon", "lat", ring))
+
+
+def _poly_oracle() -> str:
+    from ..sources.boundary_io import read_poly
+
+    ring = read_poly(_POLY_TEXT)
+    return clip_oracle_sql(
+        _CHAIN_CTE, inside_sql=ring_inside_expr("lon", "lat", ring)
+    )
+
+
+ORACLES["clip_chains_poly"] = _poly_oracle()
