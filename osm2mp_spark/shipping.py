@@ -16,8 +16,20 @@ _FLAG = "_osm2mp_spark_shipped"
 
 
 def build_zip(out_path: str | None = None) -> str:
-    """Zip the package deterministically (stable entry order + timestamps)."""
+    """Zip the package deterministically (stable entry order + timestamps).
+
+    If the package itself was imported FROM a zip (spark-submit --py-files
+    already shipped it), return that archive — walking a zip-internal path
+    yields nothing and would overwrite the archive we are running from
+    with an empty one."""
     pkg_root = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.isdir(pkg_root):
+        container = pkg_root
+        while container and not os.path.isfile(container):
+            container = os.path.dirname(container)
+        if container and zipfile.is_zipfile(container):
+            return container
+        raise RuntimeError(f"cannot locate package source at {pkg_root}")
     parent = os.path.dirname(pkg_root)
     out_path = out_path or os.path.join("/tmp", "osm2mp_spark.zip")
     entries = []
@@ -29,11 +41,17 @@ def build_zip(out_path: str | None = None) -> str:
             if fn.endswith(".py"):
                 full = os.path.join(dirpath, fn)
                 entries.append((full, os.path.relpath(full, parent)))
-    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+    # write-then-rename: the default path is SHARED across sessions
+    # (/tmp/osm2mp_spark.zip) — an in-place zipfile write lets a concurrent
+    # session read a half-written archive (observed: 0-entry zip handed to
+    # spark-submit). os.replace is atomic on one filesystem.
+    tmp = f"{out_path}.{os.getpid()}.tmp"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
         for full, rel in entries:
             info = zipfile.ZipInfo(rel, date_time=(2020, 1, 1, 0, 0, 0))
             with open(full, "rb") as f:
                 zf.writestr(info, f.read())
+    os.replace(tmp, out_path)
     return out_path
 
 

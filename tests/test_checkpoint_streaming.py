@@ -212,3 +212,30 @@ class TestStreamingCheckpointRecovery:
         assert len(got) == 150
         assert got.k.nunique() == 150
         assert (got.v == got.k * 2).all()
+
+
+class TestShippingZip:
+    def test_build_zip_nonempty_and_zipimportable(self, tmp_path):
+        import subprocess
+        import sys
+        import zipfile
+
+        from osm2mp_spark.shipping import build_zip
+
+        p = build_zip(str(tmp_path / "pkg.zip"))
+        assert len(zipfile.ZipFile(p).namelist()) > 50
+        # import from the zip in a clean interpreter (the --py-files shape)
+        code = (
+            f"import sys; sys.path.insert(0, {p!r}); "
+            "import osm2mp_spark.shipping as s; "
+            "print(s.build_zip())"
+        )
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            cwd=str(tmp_path),
+        )
+        assert r.returncode == 0, r.stderr
+        # in-zip build_zip must return the CONTAINING archive, never
+        # overwrite it with an empty walk of a zip-internal path
+        assert r.stdout.strip() == p
+        assert len(zipfile.ZipFile(p).namelist()) > 50
