@@ -199,9 +199,16 @@ def bench_two_level_jvm(n_points: int = 120_000_000, sessions: int = 3) -> dict:
                 "--scale-session", str(cores), str(n_points),
             ]
             r = subprocess.run(cmd, capture_output=True, text=True)
-            line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "{}"
-            rec = json.loads(line)
-            out[cores].extend(rec.get("times", []))
+            if r.returncode != 0:
+                raise RuntimeError(
+                    f"scale session (cores={cores}) failed rc={r.returncode}: "
+                    f"{r.stderr.strip()[-500:]}"
+                )
+            line = r.stdout.strip().splitlines()[-1]
+            times = json.loads(line)["times"]
+            if not times:
+                raise RuntimeError(f"scale session (cores={cores}) produced no timings")
+            out[cores].extend(times)
     b_lo, b_hi = min(out[low]), min(out[high])
     eff = (b_lo / b_hi) / (high / low)
     return {

@@ -114,6 +114,44 @@ def translate_types(
     )
 
 
+def sequential_id(
+    df: DataFrame,
+    order_col: str,
+    out_col: str = "link_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global 1-based sequential id by `order_col` (must be unique) WITHOUT
+    a single-task global window: range-repartition on the key, parallel
+    per-partition row_number, then per-partition counts (≤ #partitions
+    rows, one tiny collect) become broadcast offsets. The ids equal the
+    global rank by order_col regardless of where the sampled range bounds
+    land, so the result is deterministic at any parallelism."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n = num_partitions or max(spark.sparkContext.defaultParallelism, 1)
+    d = df.repartitionByRange(n, order_col).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__pid").orderBy(order_col)
+    d = d.withColumn("__rn", F.row_number().over(w).cast("bigint"))
+    counts = sorted(
+        (r["__pid"], r["n"])
+        for r in d.groupBy("__pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets = []
+    acc = 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    odf = spark.createDataFrame(offsets, "__pid int, __off bigint")
+    return (
+        d.join(F.broadcast(odf), "__pid")
+        .withColumn(out_col, (F.col("__off") + F.col("__rn")).cast("bigint"))
+        .drop("__pid", "__rn", "__off")
+    )
+
+
 # --- housenumber pseudoroads (WriterMPC.pm:273-316) ---------------------------
 
 PSEUDOROAD_LENGTH = 0.00002  # $DEFAULT_PSEUDOROAD_LENGTH
@@ -135,14 +173,10 @@ def synthesize_pseudoroads(
     L_FROM_ADR = L_TO_ADR = the number, all-open access flags, ALLEY type
     and a deterministic sequential LINK_ID (row_number by point id — the
     reference's pseudoroad_id counter made parallel-safe)."""
-    from pyspark.sql import Window
-
     hnum = F.regexp_extract(F.col(house_col), "([0-9]+)", 1)
-    w = Window.orderBy(point_col)
+    numbered = addr_points.withColumn("__h", hnum).filter(F.col("__h") != "")
     return (
-        addr_points.withColumn("__h", hnum)
-        .filter(F.col("__h") != "")
-        .withColumn("link_id", F.row_number().over(w).cast("bigint"))
+        sequential_id(numbered, point_col, "link_id")
         .select(
             "link_id",
             F.col(point_col),

@@ -29,6 +29,13 @@ class DegenerateClip(ValueError):
     """Vertex-on-edge / collinear-overlap contact: perturb and retry."""
 
 
+class HoleInsideSubject(DegenerateClip):
+    """Difference with a clip ring strictly inside the subject — the result
+    is a ring-with-hole, not a simple ring. NOT a numeric degeneracy:
+    callers handle it structurally (record an inner ring); retrying with a
+    perturbed subject can never change containment."""
+
+
 class _V:
     __slots__ = ("x", "y", "nxt", "prv", "inter", "entry", "twin", "alpha",
                  "visited")
@@ -173,7 +180,7 @@ def gh_clip(subject, clip, op: str = "int") -> list[list[tuple]]:
         if c_in_s:
             # clip strictly inside subject → ring-with-hole; callers that
             # need holes use clip_region_with_holes (returns inners)
-            raise DegenerateClip("difference would create a hole ring")
+            raise HoleInsideSubject("difference would create a hole ring")
         return [s_ring]
 
     # 2. entry/exit flags (parity walk from a non-intersection vertex —
@@ -240,6 +247,8 @@ def gh_clip_robust(subject, clip, op: str = "int", eps: float = 1e-9
                 clip,
                 op,
             )
+        except HoleInsideSubject:
+            raise  # structural, not numeric — retrying cannot change it
         except DegenerateClip:
             if attempt == 3:
                 raise
@@ -257,8 +266,10 @@ def clip_region_with_holes(subject, outer, holes=()) -> dict:
         for p in pieces:
             try:
                 nxt.extend(gh_clip_robust(p, hole, "diff"))
-            except DegenerateClip:
+            except HoleInsideSubject:
                 # hole strictly inside the piece: keep piece + inner ring
+                # (structural case, detected without any retry; genuine
+                # numeric degeneracies still surface loudly)
                 nxt.append(p)
                 h = [tuple(map(float, q)) for q in hole]
                 if h[0] != h[-1]:

@@ -70,6 +70,11 @@ def split_self_intersections(
                 continue
             for s, e in split_parts_from_breaks(len(sub), breaks):
                 child = idxs[s : e + 1]
+                if not child:
+                    # breaks can DECREASE when routing nodes are sparse
+                    # (midpoint break doesn't advance prev) — the Perl
+                    # slice chain[b1..b0] is empty there too; skip it
+                    continue
                 (done if len(child) >= len(idxs) else work).append(child)
         done.sort(key=lambda ix: (ix[0], ix[-1]))
         idx: list[int] = []

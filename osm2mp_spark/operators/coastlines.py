@@ -208,18 +208,24 @@ class RingBoundary:
     def crossing(self, p_out, p_in):
         """Nearest intersection of (p_out → p_in) with the ring, as
         (point, perimeter_pos); None if no crossing."""
-        best = None
+        cs = self.crossings(p_out, p_in)
+        return cs[0] if cs else None
+
+    def crossings(self, p0, p1):
+        """ALL intersections of segment (p0 → p1) with the ring, ordered
+        along the segment from p0 — a segment may cross a CONCAVE ring
+        any even number of times, and pairing only the outermost two
+        would span excluded notches."""
+        found = []
         for i, (e0, e1) in enumerate(zip(self.pts[:-1], self.pts[1:])):
-            hit = segment_intersection(p_out, p_in, e0, e1)
+            hit = segment_intersection(p0, p1, e0, e1)
             if hit is None:
                 continue
-            t = max(abs(hit[0] - p_out[0]), abs(hit[1] - p_out[1]))
-            if best is None or t < best[0]:
-                pos = self.cum[i] + float(
-                    np.hypot(hit[0] - e0[0], hit[1] - e0[1])
-                )
-                best = (t, hit, pos)
-        return (best[1], best[2]) if best else None
+            t = max(abs(hit[0] - p0[0]), abs(hit[1] - p0[1]))
+            pos = self.cum[i] + float(np.hypot(hit[0] - e0[0], hit[1] - e0[1]))
+            found.append((t, hit, pos))
+        found.sort(key=lambda x: x[0])
+        return [(hit, pos) for _, hit, pos in found]
 
     def walk(self, t0: float, t1: float) -> list:
         """Ring vertices passed walking clockwise from t0 to t1."""
@@ -236,37 +242,33 @@ class RingBoundary:
 def _clip_open_chain_ring(chain, boundary: RingBoundary):
     """Inside runs of an open chain against an arbitrary ring, endpoints
     replaced by exact crossings with perimeter positions carried.
-    Returns [(pts, t_start|None, t_end|None)]."""
+    Returns [(pts, t_start|None, t_end|None)].
+
+    Sweep with crossing ALTERNATION: every segment contributes ALL its
+    ring intersections in order along the segment, toggling inside/out at
+    each — a segment across a concave notch (4+ crossings) yields one run
+    per inside interval instead of one run spanning the notch."""
     pts = [tuple(p) for p in chain]
-    inside = [boundary.contains(p) for p in pts]
-    runs = []
-    cur: list = []
-    t_start = None
-    for i in range(len(pts)):
-        if inside[i]:
-            if not cur and i > 0:
-                hit = boundary.crossing(pts[i - 1], pts[i])
-                if hit is not None and hit[0] != pts[i]:
-                    cur.append(hit[0])
-                    t_start = hit[1]
-            cur.append(pts[i])
-        else:
-            if cur:
-                hit = boundary.crossing(pts[i], pts[i - 1])
-                t_end = None
-                if hit is not None and hit[0] != cur[-1]:
-                    cur.append(hit[0])
-                    t_end = hit[1]
-                runs.append((cur, t_start, t_end))
+    runs: list[tuple[list, float | None, float | None]] = []
+    inside = boundary.contains(pts[0])
+    cur: list = [pts[0]] if inside else []
+    t_start: float | None = None
+    for i in range(1, len(pts)):
+        for hit, pos in boundary.crossings(pts[i - 1], pts[i]):
+            if inside:
+                if not cur or hit != cur[-1]:
+                    cur.append(hit)
+                runs.append((cur, t_start, pos))
                 cur, t_start = [], None
-            elif i > 0 and not inside[i - 1]:
-                entry = boundary.crossing(pts[i - 1], pts[i])
-                exit_ = boundary.crossing(pts[i], pts[i - 1])
-                if entry and exit_ and entry[0] != exit_[0]:
-                    runs.append(([entry[0], exit_[0]], entry[1], exit_[1]))
+            else:
+                cur = [hit]
+                t_start = pos
+            inside = not inside
+        if inside and (not cur or pts[i] != cur[-1]):
+            cur.append(pts[i])
     if cur:
         runs.append((cur, t_start, None))
-    return runs
+    return [(r, t0, t1) for r, t0, t1 in runs if len(r) >= 2]
 
 
 def synthesize_water(chains: dict[str, list], boundary) -> dict:

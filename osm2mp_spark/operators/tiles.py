@@ -225,6 +225,7 @@ def relation_tile_closure(
     )
     closure = base.localCheckpoint(eager=True)
     n_prev = closure.count()
+    converged = False
     for _ in range(max_rounds):
         e = edges.alias("e")
         c = closure.alias("c")
@@ -242,8 +243,17 @@ def relation_tile_closure(
         n_new = new.count()
         closure = new
         if n_new == n_prev:
+            converged = True
             break
         n_prev = n_new
+    if not converged:
+        # each round propagates one nesting hop; stopping early would
+        # silently drop tiles for deeply nested relations while the SQL
+        # oracle (recursive CTE) closes fully — fail loudly instead
+        raise RuntimeError(
+            f"relation_tile_closure did not converge in {max_rounds} rounds "
+            f"(relation nesting deeper than the cap); raise max_rounds"
+        )
     return closure
 
 

@@ -106,11 +106,16 @@ def self_intersection_breaks_oracle(
     brk = 0
     rnod = 1
     prev = 0
+    # O(n) repeat test: last-occurrence index per vertex; "seen since the
+    # last break" ⇔ last occurrence ≥ brk (the last occurrence is the max,
+    # so any in-window occurrence implies it) — replaces an O(n²)
+    # set(pts[brk:i]) rebuild per step
+    seen: dict[tuple, int] = {pts[0]: 0}
     for i in range(1, len(pts)):
         cnode = pts[i]
         if cnode in nodid:
             rnod += 1
-        if cnode in set(pts[brk:i]):
+        if seen.get(cnode, -1) >= brk:
             if cnode != pts[prev]:
                 brk = prev
             else:
@@ -128,6 +133,7 @@ def self_intersection_breaks_oracle(
             rnod = 1
         if cnode in nodid:
             prev = i
+        seen[cnode] = i
     return breaks
 
 

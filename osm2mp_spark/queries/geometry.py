@@ -16,7 +16,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.chains import merge_roads, split_self_intersections
-from ..operators.coastlines import synthesize_water
 from ..operators.rings import assemble_rings
 from ..operators.tiles import assign_tiles_bsp
 from ..sources.points import derived_lat_sql, derived_lon_sql
@@ -202,9 +201,47 @@ def sea_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pts = sea_chain_vertices(spark, sf_dir)
     tiled = assign_tiles_grid(pts, nx=8, ny=8)
+    # open chains replicate to every tile any SEGMENT touches — a segment
+    # can cross a tile containing neither endpoint (corner-to-corner), so
+    # vertex tiles alone under-replicate. Tile set per segment = all grid
+    # cells overlapping the segment bbox (a safe over-approximation:
+    # a chain clipped against a tile it doesn't enter yields no runs).
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("chain_id").orderBy("seq")
+    segs = (
+        pts.filter(~F.col("closed"))
+        .withColumn("lon2", F.lead("lon").over(w))
+        .withColumn("lat2", F.lead("lat").over(w))
+        .filter(F.col("lon2").isNotNull())
+    )
+
+    def _ti(c: str, lo: float, width: float, n: int) -> str:
+        return (
+            f"LEAST({n - 1}, GREATEST(0, "
+            f"CAST(FLOOR(({c} - {lo!r}) / {width!r}) AS INT)))"
+        )
+
     open_tiles = (
-        tiled.filter(~F.col("closed"))
-        .select("chain_id", "tile_id")
+        segs.selectExpr(
+            "chain_id",
+            f"{_ti('least(lon, lon2)', -180.0, 45.0, 8)} AS ix0",
+            f"{_ti('greatest(lon, lon2)', -180.0, 45.0, 8)} AS ix1",
+            f"{_ti('least(lat, lat2)', -90.0, 22.5, 8)} AS iy0",
+            f"{_ti('greatest(lat, lat2)', -90.0, 22.5, 8)} AS iy1",
+        )
+        .select(
+            "chain_id",
+            F.explode(F.expr("sequence(ix0, ix1)")).alias("ix"),
+            F.col("iy0"),
+            F.col("iy1"),
+        )
+        .select(
+            "chain_id",
+            "ix",
+            F.explode(F.expr("sequence(iy0, iy1)")).alias("iy"),
+        )
+        .selectExpr("chain_id", "CAST(iy * 8 + ix AS INT) AS tile_id")
         .distinct()
     )
     closed_tiles = (

@@ -354,19 +354,36 @@ class TestSeaSynthesisPerTile:
         got = sea_synthesis(spark, sf).toPandas()
         assert len(got) > 4  # scales with data, not a fixed fixture
 
-        # driver twin: same chain→tile assignment, same kernel
+        # driver twin: same chain→tile assignment (segment-bbox tiles for
+        # open chains — a segment can cross a vertex-free tile), same kernel
+        import numpy as np
+
         pts = sea_chain_vertices(spark, sf).toPandas()
         nx = ny = 8
+
+        def tix(lon):
+            return int(np.clip(np.floor((lon + 180.0) / 45.0), 0, nx - 1))
+
+        def tiy(lat):
+            return int(np.clip(np.floor((lat + 90.0) / 22.5), 0, ny - 1))
+
         ix = ((pts.lon + 180.0) / 360.0 * nx).astype(int).clip(0, nx - 1)
         iy = ((pts.lat + 90.0) / 180.0 * ny).astype(int).clip(0, ny - 1)
         pts = pts.assign(tile_id=iy * nx + ix)
         chain_tiles = set()
         for cid, grp in pts.sort_values(["chain_id", "seq"]).groupby("chain_id"):
             closed = bool(grp.closed.iloc[0])
-            tiles = (
-                {int(grp.tile_id.iloc[0])} if closed
-                else set(int(t) for t in grp.tile_id)
-            )
+            if closed:
+                tiles = {int(grp.tile_id.iloc[0])}
+            else:
+                tiles = set()
+                lons, lats = grp.lon.to_numpy(), grp.lat.to_numpy()
+                for a in range(len(lons) - 1):
+                    for x in range(tix(min(lons[a], lons[a + 1])),
+                                   tix(max(lons[a], lons[a + 1])) + 1):
+                        for y in range(tiy(min(lats[a], lats[a + 1])),
+                                       tiy(max(lats[a], lats[a + 1])) + 1):
+                            tiles.add(y * nx + x)
             for t in tiles:
                 chain_tiles.add((int(cid), t))
         expected = []
@@ -466,3 +483,69 @@ class TestContourNesting:
         b_in = [(22, 22), (24, 22), (24, 24), (22, 24), (22, 22)]
         out = nest_contours_oracle([a, b, b_in])
         assert out == [(0, 0, False), (1, 1, False), (2, 1, True)]
+
+
+class TestReviewRegressions:
+    def test_concave_notch_multi_crossing_clip(self):
+        """A segment crossing a concave boundary 4x must yield one run per
+        inside interval — not one run spanning the excluded notch."""
+        from osm2mp_spark.geometry.kernels import points_in_ring
+        from osm2mp_spark.operators.coastlines import synthesize_water
+
+        u = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (8.0, 10.0),
+             (8.0, 2.0), (2.0, 2.0), (2.0, 10.0), (0.0, 10.0)]
+        water = synthesize_water({"c": [(-2.0, 6.0), (12.0, 6.0)]}, u)
+        # the water below the coastline is ONE region connected under the
+        # notch; its ring must walk AROUND the notch walls
+        assert len(water["seas"]) == 1
+        sea = water["seas"][0]
+        # notch corners spliced in, notch interior excluded, arms included
+        assert (2.0, 2.0) in sea and (8.0, 2.0) in sea
+        assert points_in_ring([5.0], [4.0], sea)[0] < 0
+        assert points_in_ring([1.0, 9.0, 5.0], [4.0, 4.0, 1.0], sea).tolist() == [1, 1, 1]
+
+    def test_split_survives_decreasing_breaks(self, spark):
+        """Sparse routing nodes can make break indices DECREASE (midpoint
+        break doesn't advance prev); empty part slices must be skipped,
+        not crash the Arrow kernel."""
+        from pyspark.sql import functions as F
+
+        from osm2mp_spark.operators.chains import split_self_intersections
+
+        rows = [(1, i, float(x), 0.0) for i, x in
+                enumerate([0, 1, 2, 3, 0, 5, 5])]
+        pts = spark.createDataFrame(
+            rows, "chain_id bigint, seq bigint, lon double, lat double"
+        ).withColumn("is_node", F.lit(False))
+        out = split_self_intersections(pts, node_col="is_node").toPandas()
+        assert len(out) > 0  # no IndexError; parts cover the chain
+
+    def test_hole_inside_raises_without_retry(self):
+        from osm2mp_spark.geometry.clip_poly import (
+            HoleInsideSubject,
+            gh_clip_robust,
+        )
+
+        subj = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]
+        hole = [(4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0)]
+        with pytest.raises(HoleInsideSubject):
+            gh_clip_robust(subj, hole, "diff")
+
+    def test_sequential_id_parallel_matches_rank(self, spark):
+        from osm2mp_spark.functions.garmin import sequential_id
+
+        df = spark.range(1, 501).selectExpr("id * 7 % 503 AS k", "id AS v")
+        out = sequential_id(df, "k", "sid", num_partitions=8).toPandas()
+        got = out.sort_values("k").sid.to_numpy()
+        assert list(got) == list(range(1, 501))
+
+    def test_breaks_oracle_linear_seen_window(self):
+        """The O(n) last-occurrence membership must equal the windowed
+        set(pts[brk:i]) rule, including after BACKWARD break moves."""
+        from osm2mp_spark.oracle.reference import (
+            self_intersection_breaks_oracle,
+        )
+
+        pts = [(0, 0), (1, 0), (2, 0), (3, 0), (0, 0), (5, 0), (5, 0)]
+        # no routing nodes: midpoint/prev rules produce decreasing breaks
+        assert self_intersection_breaks_oracle(pts, routing_nodes=set()) == [2, 0]
