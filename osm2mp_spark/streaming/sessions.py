@@ -112,3 +112,19 @@ def sessionize_stream(spark, events_dir: str, schema) -> DataFrame:
             fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def dedup_stream(spark, docs_dir: str, schema, gap_minutes: int = 60) -> DataFrame:
+    """Streaming exact-dedup twin (the pipeline's dropDuplicates face):
+    documents arrive as files, each keyed by md5(text); duplicates within
+    the watermark window are dropped, so the sink holds one row per
+    distinct content hash (first arrival wins — the streaming analog of
+    the batch keeper rule; the batch twin keeps min doc_id instead, the
+    surviving HASH SET is identical)."""
+    stream = (
+        spark.readStream.schema(schema).parquet(docs_dir)
+        .withColumn("text_hash", F.md5(F.col("text").cast("binary")))
+        .withColumn("__ts", F.current_timestamp())
+        .withWatermark("__ts", f"{gap_minutes} minutes")
+    )
+    return stream.dropDuplicatesWithinWatermark(["text_hash"])

@@ -239,3 +239,36 @@ class TestShippingZip:
         # overwrite it with an empty walk of a zip-internal path
         assert r.stdout.strip() == p
         assert len(zipfile.ZipFile(p).namelist()) > 50
+
+
+class TestStreamingDedup:
+    def test_stream_dedup_matches_batch_hash_set(self, spark, sf_dir, tmp_path):
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from osm2mp_spark.streaming.sessions import dedup_stream
+
+        docs_dir = tmp_path / "docs"
+        docs_dir.mkdir()
+        shutil.copy(f"{sf_dir}/documents.parquet", docs_dir / "a.parquet")
+        batch_hashes = {
+            r.h for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(F.md5(F.col("text").cast("binary")).alias("h"))
+            .distinct().collect()
+        }
+        schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+        q = (
+            dedup_stream(spark, str(docs_dir), schema)
+            .writeStream.format("memory").queryName("dedupstream")
+            .outputMode("append").start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                r.text_hash
+                for r in spark.sql("SELECT text_hash FROM dedupstream").collect()
+            }
+        finally:
+            q.stop()
+        assert got == batch_hashes

@@ -166,3 +166,43 @@ class TestClipPolygonsSpark:
         out = clip_polygons_to_region(df, l_outer).toPandas()
         assert len(out) == 2
         assert out.area.sum() == pytest.approx(3 * 4 * 2.0)  # two 3x4 pieces
+
+
+class TestGHProperties:
+    """Property: for simple convex-ish random polygons,
+    area(A∩B) + area(A∖B) == area(A) (the boolean ops partition A)."""
+
+    def test_area_additivity_random_convex(self):
+        import math
+        import random
+
+        from osm2mp_spark.geometry.clip_poly import (
+            DegenerateClip,
+            gh_clip_robust,
+        )
+
+        rng = random.Random(20260816)
+
+        def rand_convex(cx, cy, r, n):
+            angs = sorted(rng.uniform(0, 2 * math.pi) for _ in range(n))
+            return [
+                (cx + r * (0.6 + 0.4 * rng.random()) * math.cos(a),
+                 cy + r * (0.6 + 0.4 * rng.random()) * math.sin(a))
+                for a in angs
+            ]
+
+        checked = 0
+        for trial in range(60):
+            a = rand_convex(0.0, 0.0, 5.0, rng.randint(4, 9))
+            b = rand_convex(rng.uniform(-4, 4), rng.uniform(-4, 4),
+                            rng.uniform(2, 6), rng.randint(4, 9))
+            try:
+                inter = gh_clip_robust(a, b, "int")
+                diff = gh_clip_robust(a, b, "diff")
+            except DegenerateClip:
+                continue  # genuinely degenerate random contact — skip
+            area_a = total_area([a + [a[0]]])
+            got = total_area(inter) + total_area(diff)
+            assert got == pytest.approx(area_a, rel=1e-9), (a, b)
+            checked += 1
+        assert checked >= 50  # the suite must actually exercise the kernel
