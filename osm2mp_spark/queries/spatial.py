@@ -238,10 +238,18 @@ SELECT point_id, city_id AS nearest_city_id, d2 AS dist_sq FROM r WHERE rn = 1
 """,
 )
 def knn_city(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J15 — containment anti-join, then broadcast 1-NN (min_by)."""
+    """J15 — uncontained points get the nearest city. Containment and the
+    filter ride ONE zero-shuffle Arrow resolve (contained-by-any ⇔
+    smallest-wins non-null), then the expression kNN — the whole query has
+    no join and no exchange before the driver collect (the earlier
+    anti-join formulation shuffled the full point set once)."""
+    from ..operators.pip_join import pip_resolve
+
     pts = customer_points(spark, sf_dir)
-    contained = pip_join(pts, _city_index(), how="all").select("point_id").distinct()
-    outs = pts.join(contained, "point_id", "left_anti")
+    resolved = pip_resolve(
+        pts, _city_index(), area_col="__c", keep_unmatched=True
+    )
+    outs = resolved.filter(F.col("__c").isNull()).drop("__c")
     anchors = [(c["area_id"], c["center"][0], c["center"][1]) for c in CITIES]
     return knn_bruteforce(outs, anchors, out_id="nearest_city_id").select(
         "point_id", "nearest_city_id", "dist_sq"

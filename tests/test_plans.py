@@ -92,3 +92,13 @@ class TestPlanShapes:
             assert re.search(
                 rf"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \[{key}", p
             ), name
+
+    def test_knn_city_query_zero_shuffle(self, spark, sf_dir):
+        """The full J15 query (containment filter + expression kNN) must
+        plan with no join and no exchange — one Arrow resolve, one filter,
+        one expression projection."""
+        import __spark_entry__ as E
+
+        p = plan_of(E.queries()["knn_city"](spark, sf_dir))
+        assert "Exchange" not in p
+        assert "Join" not in p
