@@ -194,22 +194,25 @@ FROM pts p LEFT JOIN city c ON p.point_id = c.point_id
 """,
 )
 def pip_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3 — one broadcast PIP join per addressing level, merged by coalesce
-    (OsmAddress level-priority merge, lib/OsmAddress.pm:146-163)."""
+    """J3 — one zero-shuffle Arrow resolve per addressing level, chained on
+    the same row (OsmAddress level-priority merge, lib/OsmAddress.pm:
+    146-163). No joins at all: Catalyst batches the three scalar pandas
+    UDFs into one ArrowEvalPython pass (the earlier formulation ran three
+    point_id-keyed left joins — three shuffles of the full point set)."""
+    from ..operators.pip_join import pip_resolve
+
     pts = customer_points(spark, sf_dir)
-    city = pip_join(pts, _city_index(), how="smallest", area_col="city_id").select(
-        "point_id", "city_id"
-    )
-    region = pip_join(pts, _region_index(), how="smallest",
-                      area_col="region_id").select("point_id", "region_id")
-    country = pip_join(pts, _country_index(), how="smallest",
-                       area_col="country_id").select("point_id", "country_id")
-    return (
-        pts.select("point_id")
-        .join(city, "point_id", "left")
-        .join(region, "point_id", "left")
-        .join(country, "point_id", "left")
-        .fillna({"city_id": "-", "region_id": "-", "country_id": "-"})
+    out = pip_resolve(pts, _city_index(), area_col="city_id",
+                      keep_unmatched=True)
+    out = pip_resolve(out, _region_index(), area_col="region_id",
+                      keep_unmatched=True)
+    out = pip_resolve(out, _country_index(), area_col="country_id",
+                      keep_unmatched=True)
+    return out.select(
+        "point_id",
+        F.coalesce("city_id", F.lit("-")).alias("city_id"),
+        F.coalesce("region_id", F.lit("-")).alias("region_id"),
+        F.coalesce("country_id", F.lit("-")).alias("country_id"),
     )
 
 

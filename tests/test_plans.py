@@ -102,3 +102,13 @@ class TestPlanShapes:
         p = plan_of(E.queries()["knn_city"](spark, sf_dir))
         assert "Exchange" not in p
         assert "Join" not in p
+
+    def test_pip_hierarchy_zero_shuffle_single_arrow_pass(self, spark, sf_dir):
+        """All three addressing levels resolve in ONE batched Arrow node —
+        no joins, no exchanges (Catalyst fuses adjacent scalar pandas UDFs)."""
+        import __spark_entry__ as E
+
+        p = plan_of(E.queries()["pip_hierarchy"](spark, sf_dir))
+        assert "Exchange" not in p
+        assert "Join" not in p
+        assert p.count("ArrowEvalPython") == 1
