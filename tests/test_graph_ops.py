@@ -549,3 +549,47 @@ class TestReviewRegressions:
         pts = [(0, 0), (1, 0), (2, 0), (3, 0), (0, 0), (5, 0), (5, 0)]
         # no routing nodes: midpoint/prev rules produce decreasing breaks
         assert self_intersection_breaks_oracle(pts, routing_nodes=set()) == [2, 0]
+
+
+class TestSplitterFuzz:
+    def test_random_chains_invariants(self, spark):
+        """200 random low-alphabet chains (dense repeats), random routing
+        flags: the splitter must never crash, every input vertex must land
+        in ≥1 part, parts must be contiguous index ranges in order, and
+        adjacent parts must share their boundary vertex."""
+        import random
+
+        from pyspark.sql import functions as F  # noqa: F401
+
+        from osm2mp_spark.operators.chains import split_self_intersections
+
+        rng = random.Random(7)
+        rows = []
+        flags = {}
+        for cid in range(1, 201):
+            n = rng.randint(2, 14)
+            xs = [rng.randint(0, 4) for _ in range(n)]
+            fl = [rng.random() < 0.4 for _ in range(n)]
+            flags[cid] = fl
+            for i, (x, f) in enumerate(zip(xs, fl)):
+                rows.append((cid, i, float(x), 0.0, f))
+        pts = spark.createDataFrame(
+            rows,
+            "chain_id bigint, seq bigint, lon double, lat double, is_node boolean",
+        )
+        out = (
+            split_self_intersections(pts, node_col="is_node")
+            .toPandas()
+            .sort_values(["chain_id", "part_no", "seq"])
+        )
+        for cid, grp in out.groupby("chain_id"):
+            n_in = len(flags[cid])
+            covered = set(grp.seq)
+            assert covered == set(range(n_in)), cid
+            parts = [g.seq.tolist() for _, g in grp.groupby("part_no")]
+            for p in parts:
+                assert p == list(range(p[0], p[-1] + 1)), (cid, p)
+            for a, b in zip(parts, parts[1:]):
+                # adjacent parts share the break vertex (or the earlier
+                # part was a degenerate single-vertex Perl slice)
+                assert b[0] <= a[-1] + 1, (cid, a, b)
