@@ -128,3 +128,68 @@ def dedup_stream(spark, docs_dir: str, schema, gap_minutes: int = 60) -> DataFra
         .withWatermark("__ts", f"{gap_minutes} minutes")
     )
     return stream.dropDuplicatesWithinWatermark(["text_hash"])
+
+
+def sessionize_stream_tws(spark, events_dir: str, schema) -> DataFrame:
+    """Sessionization through Spark 4's transformWithStateInPandas — the
+    successor stateful API (StatefulProcessor + typed ValueState) to
+    applyInPandasWithState. Same semantics as sessionize_stream; kept as a
+    twin so both custom-stateful-operator surfaces stay exercised."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = (
+        "user_id bigint, session_no bigint, n_events bigint, "
+        "start_us bigint, end_us bigint"
+    )
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "sess", "last_us bigint, session_no bigint"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            st = self._st.get() if self._st.exists() else None
+            last_us, session_no = (st[0], st[1]) if st else (None, 0)
+            chunks = [pdf for pdf in rows if len(pdf)]
+            out = []
+            if chunks:
+                pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                    ["ts", "event_id"]
+                )
+                recs = []
+                for r in pdf.itertuples():
+                    cur = int(r.ts.value // 1000)
+                    if last_us is None or cur - last_us > SESSION_GAP_US:
+                        session_no += 1
+                    recs.append((int(key[0]), session_no, cur))
+                    last_us = cur
+                df = pd.DataFrame(recs, columns=["user_id", "session_no", "us"])
+                out.append(
+                    df.groupby(["user_id", "session_no"], as_index=False).agg(
+                        n_events=("us", "size"),
+                        start_us=("us", "min"),
+                        end_us=("us", "max"),
+                    )
+                )
+            self._st.update((last_us, session_no))
+            return iter(out)
+
+        def close(self) -> None:
+            pass
+
+    return (
+        spark.readStream.schema(schema).parquet(events_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=SessionProcessor(),
+            outputStructType=out_schema,
+            outputMode="append",
+            timeMode="none",
+        )
+    )

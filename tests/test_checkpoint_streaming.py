@@ -272,3 +272,65 @@ class TestStreamingDedup:
         finally:
             q.stop()
         assert got == batch_hashes
+
+
+def _protobuf_available() -> bool:
+    # transformWithState's state protocol needs a working protobuf install;
+    # this sandbox ships a broken google.protobuf (no descriptor module)
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class TestTransformWithState:
+    @pytest.mark.skipif(
+        not _protobuf_available(),
+        reason="transformWithStateInPandas requires google.protobuf "
+        "(absent in this sandbox); the twin is import-try gated",
+    )
+    def test_tws_sessionize_matches_batch(self, spark, sf_dir, tmp_path):
+        """Spark 4 transformWithStateInPandas twin reproduces the batch
+        gaps-and-islands sessionization exactly."""
+        import shutil
+
+        from osm2mp_spark.streaming.sessions import (
+            sessionize_batch,
+            sessionize_stream_tws,
+        )
+
+        events_dir = tmp_path / "ev_tws"
+        events_dir.mkdir()
+        shutil.copy(f"{sf_dir}/events.parquet", events_dir / "a.parquet")
+        batch = (
+            sessionize_batch(spark.read.parquet(f"{sf_dir}/events.parquet"))
+            .toPandas().sort_values(["user_id", "session_no"])
+            .reset_index(drop=True)
+        )
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        # transformWithState requires the RocksDB state store
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        q = (
+            sessionize_stream_tws(spark, str(events_dir), schema)
+            .writeStream.format("memory").queryName("twssess")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = (
+                spark.sql("SELECT * FROM twssess").toPandas()
+                .sort_values(["user_id", "session_no"]).reset_index(drop=True)
+            )
+        finally:
+            q.stop()
+        assert len(got) == len(batch)
+        for col in ("user_id", "session_no", "n_events", "start_us", "end_us"):
+            assert (got[col].to_numpy() == batch[col].to_numpy()).all(), col
