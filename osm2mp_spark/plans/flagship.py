@@ -16,7 +16,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.knn import knn_bruteforce
-from ..operators.pip_join import pip_join
 from ..operators.tiles import (
     assign_tiles_bsp,
     assign_tiles_grid,
@@ -106,21 +105,24 @@ def flagship(
     tile_id). city_id is the containing city (smallest-wins) or the kNN
     nearest city for uncontained points (is_fallback = true).
     """
+    from ..operators.pip_join import pip_resolve
+
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         F.col("c_custkey").cast("bigint").alias("point_id")
     )
     pts = with_derived_position(cust, "point_id")
 
-    idx = PolygonIndex(city_polygons())
-    contained = pip_join(pts, idx, how="smallest", area_col="city_id")
-
+    # containment + fallback on the SAME row: one zero-shuffle Arrow
+    # resolve, expression kNN, coalesce — no join anywhere before the sink
+    resolved = pip_resolve(
+        pts, _city_index_cached(), area_col="__pip_city", keep_unmatched=True
+    )
     anchors = [(c["area_id"], c["center"][0], c["center"][1]) for c in CITIES]
-    with_nn = knn_bruteforce(pts, anchors, out_id="__nn_city").drop("dist_sq")
+    with_nn = knn_bruteforce(resolved, anchors, out_id="__nn_city").drop("dist_sq")
     unioned = (
-        with_nn.join(contained.select("point_id", "city_id"), "point_id", "left")
-        .withColumn("is_fallback", F.col("city_id").isNull())
-        .withColumn("city_id", F.coalesce("city_id", "__nn_city"))
-        .drop("__nn_city")
+        with_nn.withColumn("is_fallback", F.col("__pip_city").isNull())
+        .withColumn("city_id", F.coalesce("__pip_city", "__nn_city"))
+        .drop("__pip_city", "__nn_city")
     )
 
     if use_bsp:
