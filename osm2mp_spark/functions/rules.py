@@ -38,6 +38,8 @@ class Cond:
 
     def to_column(self) -> Column:
         c = F.col(self.key) if self.key else None
+        if self.kind == "true":
+            return F.lit(True)
         if self.kind == "named":
             # F4 (FeatureConfig.pm:109-113): string condition ids with a
             # `~` negation prefix. only_node → object type is Node;
@@ -63,8 +65,20 @@ class Cond:
             return c.isNull() | ~F.array_contains(F.split(c, ";"), self.value)
         if self.kind == "exists":
             return c.isNotNull()
+        if self.kind == "not_exists":
+            return c.isNull()
         if self.kind == "regex":
             return c.rlike(self.value)
+        if self.kind in ("re_any", "nre_any"):
+            # FeatureConfig.pm:84-87: value is a REGEX matched anchored
+            # (^(?:val)$) against every ';'-part; `!=` = negation, and a
+            # missing tag splits to nothing → any{} false → `!=` true
+            anchored = f"^(?:{self.value})$"
+            hit = F.coalesce(
+                F.exists(F.split(c, ";"), lambda p: p.rlike(anchored)),
+                F.lit(False),
+            )
+            return ~hit if self.kind == "nre_any" else hit
         if self.kind == "and":
             out = self.children[0].to_column()
             for ch in self.children[1:]:
@@ -83,6 +97,8 @@ class Cond:
         to_column)."""
         k = self.key
         v = self.value.replace("'", "''")
+        if self.kind == "true":
+            return "TRUE"
         if self.kind == "named":
             neg = self.key.startswith("~")
             cid = self.key.lstrip("~ ")
@@ -100,8 +116,16 @@ class Cond:
             return f"({k} IS NULL OR NOT LIST_CONTAINS(string_split({k}, ';'), '{v}'))"
         if self.kind == "exists":
             return f"({k} IS NOT NULL)"
+        if self.kind == "not_exists":
+            return f"({k} IS NULL)"
         if self.kind == "regex":
             return f"REGEXP_MATCHES({k}, '{v}')"
+        if self.kind in ("re_any", "nre_any"):
+            hit = (
+                f"COALESCE(LEN(LIST_FILTER(STRING_SPLIT({k}, ';'), "
+                f"p -> REGEXP_MATCHES(p, '^(?:{v})$'))) > 0, FALSE)"
+            )
+            return f"(NOT {hit})" if self.kind == "nre_any" else f"({hit})"
         if self.kind in ("and", "or"):
             op = " AND " if self.kind == "and" else " OR "
             return "(" + op.join(ch.to_sql() for ch in self.children) + ")"
@@ -132,6 +156,21 @@ def cond_and(*children: Cond) -> Cond:
 
 def cond_or(*children: Cond) -> Cond:
     return Cond("or", children=tuple(children))
+
+
+def cond_keys(c: Cond) -> set[str]:
+    """Tag keys a condition reads (for schema checks / column pruning)."""
+    if c.kind in ("and", "or"):
+        out: set[str] = set()
+        for ch in c.children:
+            out |= cond_keys(ch)
+        return out
+    if c.kind == "named":
+        cid = c.key.lstrip("~ ")
+        if cid in ("only_node", "only_way", "no_node"):
+            return {c.value or "obj_kind"}
+        return {cid}
+    return {c.key} if c.key else set()
 
 
 # --- thresholds (F6 numeric bucketing selector) ------------------------------
@@ -399,6 +438,27 @@ def expand_presets(action: dict, presets: dict[str, dict]) -> dict:
     return extra
 
 
+def _is_field_spec(v) -> bool:
+    """Action values that go through the F6 selector compiler: selector
+    hashes, first-non-empty arrays, %tag templates. Other dicts/lists are
+    opaque action metadata (e.g. add_tags maps) and stringify."""
+    if isinstance(v, dict):
+        return "selector" in v
+    if isinstance(v, list):
+        return all(isinstance(s, (str, dict, list)) or s is None for s in v) and any(
+            _is_field_spec(s) or (isinstance(s, str) and "%" in s) for s in v
+        )
+    return isinstance(v, str) and "%" in v
+
+
+def _attr_repr(v) -> str:
+    if isinstance(v, (dict, list)):
+        import json
+
+        return json.dumps(v, sort_keys=True, ensure_ascii=False)
+    return str(v)
+
+
 # --- rules -------------------------------------------------------------------
 
 @dataclass
@@ -445,8 +505,11 @@ class RuleSet:
                     proj.append(F.lit("-").alias(a))
                 elif isinstance(v, Threshold):
                     proj.append(v.to_column().alias(a))
+                elif _is_field_spec(v):
+                    # F6 field-value selector spec (templates/switches/...)
+                    proj.append(field_to_column(v).alias(a))
                 else:
-                    proj.append(F.lit(str(v)).alias(a))
+                    proj.append(F.lit(_attr_repr(v)).alias(a))
             outs.append(df.filter(r.condition.to_column()).select(*proj))
         result = outs[0]
         for o in outs[1:]:
@@ -467,8 +530,11 @@ class RuleSet:
                     cols.append(f"'-' AS {a}")
                 elif isinstance(v, Threshold):
                     cols.append(f"{v.to_sql()} AS {a}")
+                elif _is_field_spec(v):
+                    cols.append(f"{field_to_sql(v)} AS {a}")
                 else:
-                    cols.append(f"'{v}' AS {a}")
+                    sv = _attr_repr(v).replace("'", "''")
+                    cols.append(f"'{sv}' AS {a}")
             selects.append(
                 f"SELECT {', '.join(cols)} FROM {from_clause} WHERE {r.condition.to_sql()}"
             )

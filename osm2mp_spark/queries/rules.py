@@ -317,3 +317,89 @@ def rule_named_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(doc_id % 5 = 0) AS inside_city",
     )
     return _NAMED_RULES.dispatch_all(d, ["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# Feature-config loader end-to-end: rules written in the REFERENCE'S OWN
+# YAML format, parsed by functions.config, dispatched all-match
+# ---------------------------------------------------------------------------
+
+_CFG_TEXT = """
+####    demo feature config in the reference format
+
+--- objects
+---
+
+- condition:
+    - lang = en|de
+    - only_node
+  action:
+    - action: write_poi
+      type: '0x2c04'
+      name: poi-%source
+
+- condition:
+    - source != src0
+  action:
+    - action: write_line
+      type: '0x01'
+    - action: load_access_area
+
+- condition:
+    - or:
+        - lang = ru
+        - and:
+            - source = src1|src2
+            - ~only_node
+  action:
+    - action: write_polygon
+      type: '0x13'
+
+- condition:
+    - text = *
+  id: overridable
+  action:
+    - action: write_poi
+      type: '0x0100'
+
+- condition:
+    - n_chars = \\d{3}
+  id: overridable
+  action:
+    - action: write_poi
+      type: '0x0200'
+"""
+
+from ..functions.config import load_feature_config  # noqa: E402
+
+_CFG_RULES = load_feature_config(_CFG_TEXT)["objects"]
+
+_CFG_CTE = (
+    "(SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source, text, "
+    "CAST(n_chars AS VARCHAR) AS n_chars, "
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'Node' ELSE 'Way' END "
+    "AS obj_kind FROM documents)"
+)
+
+
+@register(
+    "cfg_dispatch",
+    oracle=_CFG_RULES.dispatch_all_sql(_CFG_CTE, ["doc_id"]),
+)
+def cfg_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end feature-config path: rules written in the reference's own
+    YAML format (sections, `key = regex` conditions with ';'-multivalue
+    anchored matching, or/and nesting, ~negated named conditions,
+    override-by-id, multi-action rules, %tag templates in action params)
+    parsed by functions.config.load_feature_config and dispatched
+    all-match. A reference user's cfg files work unchanged."""
+    d = _docs(spark, sf_dir).selectExpr(
+        "CAST(doc_id AS BIGINT) AS doc_id",
+        "lang",
+        "source",
+        "text",
+        "CAST(n_chars AS STRING) AS n_chars",
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'Node' ELSE 'Way' END "
+        "AS obj_kind",
+    )
+    return _CFG_RULES.dispatch_all(d, ["doc_id"])

@@ -277,3 +277,56 @@ class TestLayerSchemas:
         write_layers({"roads": df}, str(tmp_path / "layers"))
         back = spark.read.parquet(str(tmp_path / "layers" / "roads"))
         assert back.count() == 1 and "ACC_MASK" in back.columns
+
+
+class TestFeatureConfigLoader:
+    """functions.config parses the REFERENCE'S real cfg files."""
+
+    def test_parses_all_polish_mp_configs(self):
+        import glob
+
+        from osm2mp_spark.functions.config import (
+            config_tag_keys,
+            load_feature_config,
+        )
+
+        total = 0
+        keys = set()
+        for path in sorted(glob.glob("/root/reference/cfg/polish-mp/*.yml")):
+            sections = load_feature_config(path)
+            n = sum(len(rs.rules) for rs in sections.values())
+            assert n > 0, path
+            total += n
+            keys |= config_tag_keys(sections)
+        assert total > 150  # the polish-mp pack is the real workload
+        assert {"highway", "railway", "amenity", "landuse"} <= keys
+
+    def test_real_config_compiles_and_dispatches(self, spark):
+        from osm2mp_spark.functions.config import (
+            config_tag_keys,
+            load_feature_config,
+        )
+
+        sections = load_feature_config(
+            "/root/reference/cfg/polish-mp/nodes-common-univ.yml"
+        )
+        rs = sections["nodes"]
+        keys = sorted(config_tag_keys(sections) - {"obj_kind"})
+        # frame with every referenced tag column (string) + obj_kind
+        row1 = {k: None for k in keys}
+        row1.update({"amenity": "grave_yard"})
+        row2 = {k: None for k in keys}
+        row2.update({"railway": "level_crossing"})
+        row3 = {k: None for k in keys}  # matches nothing
+        import pandas as pd
+
+        pdf = pd.DataFrame([row1, row2, row3]).astype("object")
+        pdf["obj_kind"] = "Node"
+        pdf["oid"] = [1, 2, 3]
+        df = spark.createDataFrame(pdf)
+        out = rs.dispatch_all(df, ["oid"]).toPandas()
+        # grave_yard → 0x6403, level_crossing → 0x6406
+        # (cfg/polish-mp/nodes-common-univ.yml)
+        assert set(out[out.oid == 1].type) == {"0x6403"}
+        assert set(out[out.oid == 2].type) == {"0x6406"}
+        assert (out.oid != 3).all()
