@@ -120,3 +120,101 @@ def render_mp_points(rows, default_level: int = 0) -> str:
             "[END]\n"
         )
     return "\n".join(out)
+
+
+# --- Polish-format section renderers (cfg/output-polish.yml templates) -------
+
+def _speed_code(speed) -> int:
+    """Garmin speed class (WriterTT speed_code; same thresholds as the
+    speed_kernels query)."""
+    s = speed or 0
+    for code, bound in ((7, 120), (6, 100), (5, 85), (4, 70), (3, 50),
+                        (2, 30), (1, 10)):
+        if s >= bound:
+            return code
+    return 0
+
+
+def _latlons(chain) -> str:
+    # Data lines are (lat,lon) pairs — cfg/output-polish.yml:125-129
+    return ",".join(f"({lat:.5f},{lon:.5f})" for lon, lat in chain)
+
+
+def _common_fields(data: dict) -> list[str]:
+    """_common_fields template (cfg/output-polish.yml:71-89): EndLevel,
+    Type, Label (extra Label override; road_ref+refs prefix rule),
+    remaining extra fields in sorted key order."""
+    out = []
+    level_l = data.get("level_l") or 0
+    level_h = data.get("level_h")
+    if level_h and level_h > level_l:
+        out.append(f"EndLevel={level_h}")
+    out.append(f"Type={data['type']}")
+    extra = dict(data.get("extra_fields") or {})
+    label = data.get("name")
+    if "Label" in extra:
+        label = extra.pop("Label")
+    refs = data.get("refs")
+    if refs and data.get("road_ref"):
+        joined = "-".join(sorted(set(refs)))
+        label = f"{data['road_ref']}{joined}" + (f" {label}" if label else "")
+    if label is not None:
+        out.append(f"Label={label}")
+    for k in sorted(extra):
+        out.append(f"{k}={extra[k]}")
+    return out
+
+
+def render_mp_polyline(data: dict) -> str:
+    """[POLYLINE] section (cfg/output-polish.yml:122-132)."""
+    lines = ["[POLYLINE]",
+             f"Data{data.get('level_l') or 0}={_latlons(data['chain'])}"]
+    lines += _common_fields(data)
+    lines.append("[END]")
+    return "\n".join(lines) + "\n"
+
+
+def render_mp_road(data: dict) -> str:
+    """Routable road [POLYLINE] (cfg/output-polish.yml:135-153): RoadID,
+    DirIndicator, RouteParams=(speed_code, class, oneway, toll, access),
+    Nod lines binding chain positions to routing node ids."""
+    lines = ["[POLYLINE]", f"Data0={_latlons(data['chain'])}",
+             f"RoadID={data['road_id']}"]
+    if data.get("oneway"):
+        lines.append("DirIndicator=1")
+    lines.append(
+        "RouteParams="
+        f"{_speed_code(data.get('speed'))},{data.get('road_class', 0)},"
+        f"{data.get('oneway') or 0},{data.get('toll') or 0},"
+        f"{data.get('access_flags', '0,0,0,0,0,0,0,0')}"
+    )
+    lines += _common_fields(data)
+    for n, (pos, node_id, *arc) in enumerate(data.get("nod") or []):
+        lines.append(f"Nod{n}={pos},{node_id},{arc[0] if arc else 0}")
+    lines.append("[END]")
+    return "\n".join(lines) + "\n"
+
+
+def render_mp_polygon(data: dict) -> str:
+    """[POLYGON] section (cfg/output-polish.yml:104-119): one Data line per
+    contour, optional EntryPoint lines (J7 entrances)."""
+    level = data.get("level_l") or 0
+    lines = ["[POLYGON]"]
+    for contour in data["contours"]:
+        lines.append(f"Data{level}={_latlons(contour)}")
+    lines += _common_fields(data)
+    for (lon, lat), kind in data.get("entrance") or []:
+        lines.append(f"EntryPoint=({lat:.5f},{lon:.5f}),{kind}")
+    lines.append("[END]")
+    return "\n".join(lines) + "\n"
+
+
+def render_mp_restriction(opts: dict) -> str:
+    """[Restrict] section (cfg/output-polish.yml:157-168)."""
+    lines = ["[Restrict]",
+             f"TraffPoints={opts['node_from']},{opts['node_via']},{opts['node_to']}",
+             f"TraffRoads={opts['road_from']},{opts['road_to']}"]
+    if opts.get("param"):
+        lines.append(f"RestrParam={opts['param']}")
+    lines.append("[END-Restrict]")
+    return "\n".join(lines) + "\n"

@@ -330,3 +330,73 @@ class TestFeatureConfigLoader:
         assert set(out[out.oid == 1].type) == {"0x6403"}
         assert set(out[out.oid == 2].type) == {"0x6406"}
         assert (out.oid != 3).all()
+
+
+class TestPolishRenderers:
+    def test_road_section_golden(self):
+        from osm2mp_spark.plans.sinks import render_mp_road
+
+        txt = render_mp_road({
+            "chain": [(30.5, 59.25), (30.6, 59.26)],
+            "road_id": 7,
+            "oneway": 1,
+            "speed": 90,
+            "road_class": 3,
+            "toll": 0,
+            "access_flags": "0,0,0,0,0,0,0,0",
+            "type": "0x05",
+            "name": "Main St",
+            "refs": ["M4", "E95"],
+            "road_ref": "~[0x05]",
+            "nod": [(0, 100, 0), (1, 101, 0)],
+        })
+        assert "[POLYLINE]" in txt
+        assert "Data0=(59.25000,30.50000),(59.26000,30.60000)" in txt
+        assert "RoadID=7" in txt and "DirIndicator=1" in txt
+        assert "RouteParams=5,3,1,0,0,0,0,0,0,0,0,0" in txt
+        # refs prefix rule: road_ref + sorted-unique refs + ' ' + name
+        assert "Label=~[0x05]E95-M4 Main St" in txt
+        assert "Nod0=0,100,0" in txt and "Nod1=1,101,0" in txt
+        assert txt.rstrip().endswith("[END]")
+
+    def test_polygon_with_hole_and_entrance(self):
+        from osm2mp_spark.plans.sinks import render_mp_polygon
+
+        txt = render_mp_polygon({
+            "contours": [
+                [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0)],
+                [(0.2, 0.2), (0.4, 0.2), (0.4, 0.4)],
+            ],
+            "type": "0x13",
+            "name": "Block",
+            "level_l": 0,
+            "entrance": [((0.5, 0.0), "main")],
+        })
+        assert txt.count("Data0=") == 2
+        assert "EntryPoint=(0.00000,0.50000),main" in txt
+
+    def test_restriction_and_common_label_override(self):
+        from osm2mp_spark.plans.sinks import (
+            render_mp_polyline,
+            render_mp_restriction,
+        )
+
+        r = render_mp_restriction({
+            "node_from": 1, "node_via": 2, "node_to": 3,
+            "road_from": 10, "road_to": 11, "param": "0,0,0,0,0,1,0,0",
+        })
+        assert "TraffPoints=1,2,3" in r and "TraffRoads=10,11" in r
+        assert "RestrParam=0,0,0,0,0,1,0,0" in r
+        assert r.rstrip().endswith("[END-Restrict]")
+
+        p = render_mp_polyline({
+            "chain": [(1.0, 2.0), (3.0, 4.0)],
+            "type": "0x01",
+            "name": "ignored",
+            "level_l": 1,
+            "level_h": 3,
+            "extra_fields": {"Label": "override", "StreetDesc": "X"},
+        })
+        assert "Data1=" in p and "EndLevel=3" in p
+        assert "Label=override" in p and "StreetDesc=X" in p
+        assert "ignored" not in p
