@@ -24,7 +24,16 @@ from __future__ import annotations
 
 import re
 
-from .rules import Cond, Rule, RuleSet, cond_and, cond_keys, cond_or
+from .rules import (
+    Cond,
+    Rule,
+    RuleSet,
+    _is_field_spec,
+    cond_and,
+    cond_keys,
+    cond_or,
+    field_keys,
+)
 
 _TAG_RE = re.compile(r"(\S+)\s*(!?)=\s*(.+)", re.S)
 _ID_RE = re.compile(r"(~?)\s*(\w+)")
@@ -57,9 +66,33 @@ def _safe_attr(name: str) -> str:
     return re.sub(r"\W", "_", str(name))
 
 
-_BARE_PCT_ITEM = re.compile(r"^(\s*-\s+)(%[^#\n]*)$", re.M)
-_BARE_PCT_VAL = re.compile(r"^(\s*[\w.-]+:\s+)(%[^#\n]*)$", re.M)
-_BARE_HEX_VAL = re.compile(r"^(\s*[\w.-]+:\s+)(0x[0-9a-fA-F]+)\s*$", re.M)
+def _normalize_spec(v, type_col: str):
+    """Field specs in config files embed RAW condition strings inside `if`
+    selectors; parse them into Cond so the F6 compiler (and key
+    discovery) can consume the spec directly."""
+    if isinstance(v, dict):
+        out = {}
+        for k, sub in v.items():
+            if k == "condition" and v.get("selector") == "if":
+                out[k] = (
+                    sub if isinstance(sub, Cond)
+                    else cond_and(*(parse_condition(c, type_col) for c in sub))
+                    if isinstance(sub, list)
+                    else parse_condition(sub, type_col)
+                )
+            else:
+                out[k] = _normalize_spec(sub, type_col)
+        return out
+    if isinstance(v, list):
+        return [_normalize_spec(s, type_col) for s in v]
+    return v
+
+
+_BARE_PCT_ITEM = re.compile(r"^(\s*-\s+)(%[^#\n]*?)(\s*#[^\n]*)?$", re.M)
+_BARE_PCT_VAL = re.compile(r"^(\s*[\w.-]+:\s+)(%[^#\n]*?)(\s*#[^\n]*)?$", re.M)
+_BARE_HEX_VAL = re.compile(
+    r"^(\s*[\w.-]+:\s+)(0x[0-9a-fA-F]+)(\s*(?:#[^\n]*)?)$", re.M
+)
 
 
 def _perl_yaml_compat(text: str) -> str:
@@ -73,7 +106,8 @@ def _perl_yaml_compat(text: str) -> str:
 
     def q(m: re.Match) -> str:
         val = m.group(2).rstrip()
-        return m.group(1) + "'" + val.replace("'", "''") + "'"
+        tail = m.group(3) or ""
+        return m.group(1) + "'" + val.replace("'", "''") + "'" + tail
 
     text = _BARE_PCT_ITEM.sub(q, text)
     text = _BARE_PCT_VAL.sub(q, text)
@@ -109,48 +143,82 @@ def load_feature_config(
         text = text_or_path
     text = _perl_yaml_compat(text)
 
-    sections: dict[str, RuleSet] = {}
+    # PHASE 1: collect raw (id, condition, actions) per section, applying
+    # override-by-id at the WHOLE-RULE level (FeatureConfig.pm:65-70 —
+    # replacing a rule replaces ALL its actions, even when the override
+    # has fewer). Per-action expansion happens once, afterwards, so
+    # synthetic ids can never collide with earlier documents' rules.
+    raw_sections: dict[str, list] = {}
     current: str | None = None
     for doc in yaml.load_all(text, Loader=_RefLoader):
         if doc is None:
             continue
         if isinstance(doc, str):
             current = doc.strip()
-            sections.setdefault(current, RuleSet())
+            raw_sections.setdefault(current, [])
             continue
         if not isinstance(doc, list):
             raise ValueError(f"unexpected document type: {type(doc)}")
         if current is None:
             raise ValueError("rule list before any section-name document")
-        rs = sections[current]
-        base = len(rs.rules)
-        for i, raw in enumerate(doc):
-            conds = [
-                parse_condition(c, type_col)
-                for c in raw.get("condition", [])
-            ]
+        rules = raw_sections[current]
+        for raw in doc:
+            conds = raw.get("condition") or []
+            if isinstance(conds, (str, dict)):
+                conds = [conds]
+            parsed = [parse_condition(c, type_col) for c in conds]
             condition = (
-                conds[0] if len(conds) == 1
-                else cond_and(*conds) if conds
+                parsed[0] if len(parsed) == 1
+                else cond_and(*parsed) if parsed
                 else Cond("true")  # no conditions = always matches
             )
-            actions = raw.get("action", [])
-            rid_base = raw.get("id") or f"{current}:{base + i}"
+            actions = raw.get("action") or []
+            if isinstance(actions, dict):
+                actions = [actions]
+            rid = raw.get("id")
+            entry = (rid, condition, actions)
+            if rid is not None:
+                for k, (old_id, _c, _a) in enumerate(rules):
+                    if old_id == rid:
+                        rules[k] = entry
+                        break
+                else:
+                    rules.append(entry)
+            else:
+                rules.append(entry)
+
+    # PHASE 2: expand to one Rule per action with globally unique ids
+    sections: dict[str, RuleSet] = {}
+    for section, rules in raw_sections.items():
+        rs = sections.setdefault(section, RuleSet())
+        for i, (rid, condition, actions) in enumerate(rules):
             for j, act in enumerate(actions):
                 attrs = {"action": act.get("action", "-")}
                 for k, v in act.items():
                     if k == "action":
                         continue
-                    attrs[_safe_attr(k)] = v
-                rs.add(Rule(f"{rid_base}#{j}", condition, attrs))
+                    if k == "extra_fields" and isinstance(v, dict):
+                        # flatten: each extra field is its own attr so
+                        # %tag templates / selector specs inside compile
+                        # per object instead of being stringified
+                        for k2, v2 in v.items():
+                            attrs[_safe_attr(k2)] = _normalize_spec(v2, type_col)
+                        continue
+                    attrs[_safe_attr(k)] = _normalize_spec(v, type_col)
+                rs.add(Rule(f"{section}:{i}#{j}", condition, attrs))
     return sections
 
 
 def config_tag_keys(rulesets: dict[str, RuleSet]) -> set[str]:
-    """Every tag key any condition reads — the input schema the config
-    needs (used for smoke-compiling real reference configs)."""
+    """Every tag key the config READS — condition keys plus the columns
+    referenced by %tag templates / selector specs in action values (which
+    dispatch compiles into column reads). This is the input schema a
+    frame must provide for dispatch_all to analyze."""
     keys: set[str] = set()
     for rs in rulesets.values():
         for r in rs.rules:
             keys |= cond_keys(r.condition)
+            for v in r.actions.values():
+                if _is_field_spec(v):
+                    keys |= field_keys(v)
     return keys

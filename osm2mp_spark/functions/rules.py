@@ -417,6 +417,41 @@ def field_to_sql(spec, strict: bool = False, target_lang: str = "en") -> str:
     raise TypeError(f"bad field spec type: {type(spec)}")
 
 
+def field_keys(spec) -> set[str]:
+    """Tag keys a field spec reads (templates' %refs, tag-switch keys,
+    condition keys, recursively) — the action-side complement of
+    cond_keys for input-schema discovery."""
+    if spec is None:
+        return set()
+    if isinstance(spec, str):
+        return {t for is_ref, t in _template_parts(spec) if is_ref}
+    if isinstance(spec, (list, tuple)):
+        out: set[str] = set()
+        for s in spec:
+            out |= field_keys(s)
+        return out
+    if isinstance(spec, dict):
+        kind = spec.get("selector")
+        out = set()
+        if kind == "tag":
+            out.add(spec["tag"])
+            for k, sub in spec.items():
+                if k not in ("selector", "tag"):
+                    out |= field_keys(sub)
+        elif kind == "if":
+            out |= cond_keys(spec["condition"])
+            out |= field_keys(spec.get("then"))
+            out |= field_keys(spec.get("else"))
+        elif kind == "thresholds":
+            out |= field_keys(spec.get("value"))
+        elif kind == "lang":
+            for k, sub in spec.items():
+                if k != "selector":
+                    out |= field_keys(sub)
+        return out
+    return set()
+
+
 # --- F7 presets (osm2mp.pl:2026-2036) -----------------------------------------
 
 def expand_presets(action: dict, presets: dict[str, dict]) -> dict:

@@ -186,7 +186,7 @@ def render_mp_road(data: dict) -> str:
         "RouteParams="
         f"{_speed_code(data.get('speed'))},{data.get('road_class', 0)},"
         f"{data.get('oneway') or 0},{data.get('toll') or 0},"
-        f"{data.get('access_flags', '0,0,0,0,0,0,0,0')}"
+        f"{data.get('access_flags') or '0,0,0,0,0,0,0,0'}"
     )
     lines += _common_fields(data)
     for n, (pos, node_id, *arc) in enumerate(data.get("nod") or []):

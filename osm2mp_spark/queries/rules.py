@@ -370,10 +370,6 @@ _CFG_TEXT = """
       type: '0x0200'
 """
 
-from ..functions.config import load_feature_config  # noqa: E402
-
-_CFG_RULES = load_feature_config(_CFG_TEXT)["objects"]
-
 _CFG_CTE = (
     "(SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source, text, "
     "CAST(n_chars AS VARCHAR) AS n_chars, "
@@ -381,11 +377,16 @@ _CFG_CTE = (
     "AS obj_kind FROM documents)"
 )
 
+# PyYAML-gated registration (the repo's import-try pattern): without yaml
+# only cfg_dispatch is absent — the other 75 queries must not care
+try:
+    from ..functions.config import load_feature_config  # noqa: E402
 
-@register(
-    "cfg_dispatch",
-    oracle=_CFG_RULES.dispatch_all_sql(_CFG_CTE, ["doc_id"]),
-)
+    _CFG_RULES = load_feature_config(_CFG_TEXT)["objects"]
+except ImportError:  # pragma: no cover - yaml ships in this environment
+    _CFG_RULES = None
+
+
 def cfg_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end feature-config path: rules written in the reference's own
     YAML format (sections, `key = regex` conditions with ';'-multivalue
@@ -403,3 +404,10 @@ def cfg_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AS obj_kind",
     )
     return _CFG_RULES.dispatch_all(d, ["doc_id"])
+
+
+if _CFG_RULES is not None:
+    register(
+        "cfg_dispatch",
+        oracle=_CFG_RULES.dispatch_all_sql(_CFG_CTE, ["doc_id"]),
+    )(cfg_dispatch)

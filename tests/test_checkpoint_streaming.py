@@ -310,9 +310,13 @@ class TestTransformWithState:
             .reset_index(drop=True)
         )
         schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        # transformWithState requires the RocksDB state store
+        # transformWithState requires the RocksDB state store; restore the
+        # previous provider afterwards so later streaming tests in the
+        # shared session keep exercising the default store
+        provider_key = "spark.sql.streaming.stateStore.providerClass"
+        prev_provider = spark.conf.get(provider_key, None)
         spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
+            provider_key,
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
@@ -331,6 +335,10 @@ class TestTransformWithState:
             )
         finally:
             q.stop()
+            if prev_provider is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prev_provider)
         assert len(got) == len(batch)
         for col in ("user_id", "session_no", "n_events", "start_us", "end_us"):
             assert (got[col].to_numpy() == batch[col].to_numpy()).all(), col

@@ -598,9 +598,9 @@ class TestSplitterFuzz:
 class TestCoastlineFuzz:
     def test_random_crossing_chains_invariants(self):
         """Random open chains against bbox and ring boundaries: every sea
-        ring must be closed, lie within the boundary, and keep water on
-        the correct side of each source chain (spot-checked via the chain
-        midpoint normal)."""
+        ring must be closed, lie within the boundary, and (single-chain
+        trials) keep water on the RIGHT of travel — checked via the
+        midpoint normal."""
         import random
 
         from osm2mp_spark.geometry.kernels import points_in_ring
@@ -610,8 +610,9 @@ class TestCoastlineFuzz:
         bbox = (0.0, 0.0, 20.0, 20.0)
         ring = [(0.0, 0.0), (20.0, 0.0), (20.0, 20.0), (0.0, 20.0)]
         for trial in range(40):
+            n_chains = rng.randint(1, 3)
             chains = {}
-            for c in range(rng.randint(1, 3)):
+            for c in range(n_chains):
                 y0 = rng.uniform(2, 18)
                 y1 = rng.uniform(2, 18)
                 if rng.random() < 0.5:
@@ -626,6 +627,25 @@ class TestCoastlineFuzz:
                     for x, y in sea:
                         assert -1e-6 <= x <= 20 + 1e-6, (trial, sea)
                         assert -1e-6 <= y <= 20 + 1e-6, (trial, sea)
+                if n_chains == 1:
+                    # water lies RIGHT of travel (lib/Coastlines.pm): probe
+                    # the normals of the middle segment at its midpoint
+                    (x0, y0_), (x1, y1_) = list(chains.values())[0][:2]
+                    mx = (x0 + x1) / 2
+                    my = (y0_ + y1_) / 2
+                    import math
+
+                    dx, dy = x1 - x0, y1_ - y0_
+                    nrm = math.hypot(dx, dy)
+                    rx, ry = dy / nrm, -dx / nrm  # right normal
+                    right = (mx + 0.5 * rx, my + 0.5 * ry)
+                    left = (mx - 0.5 * rx, my - 0.5 * ry)
+                    in_any = lambda p: any(  # noqa: E731
+                        points_in_ring([p[0]], [p[1]], sea)[0] >= 0
+                        for sea in water["seas"]
+                    )
+                    assert in_any(right), trial
+                    assert not in_any(left), trial
             # determinism: same input dict order → identical output
             w1 = synthesize_water(dict(chains), bbox)
             w2 = synthesize_water(dict(chains), bbox)
