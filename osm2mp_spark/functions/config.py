@@ -32,6 +32,7 @@ from .rules import (
     cond_and,
     cond_keys,
     cond_or,
+    expand_presets,
     field_keys,
 )
 
@@ -115,12 +116,17 @@ def _perl_yaml_compat(text: str) -> str:
 
 
 def load_feature_config(
-    text_or_path: str, type_col: str = "obj_kind"
+    text_or_path: str,
+    type_col: str = "obj_kind",
+    presets: dict | None = None,
 ) -> dict[str, RuleSet]:
     """Parse a reference-format config file/text → {section: RuleSet}.
 
     Rules with an `id` override earlier same-id rules (FeatureConfig.pm:
-    65-70); rules without one get a synthetic unique id."""
+    65-70); rules without one get a synthetic unique id. A `presets`
+    mapping (or a `presets` section in the stream, a dict document)
+    expands action preset lists / the `contacts` flag into extra fields
+    (F7, osm2mp.pl:2026-2036)."""
     import yaml
 
     class _RefLoader(yaml.SafeLoader):
@@ -155,7 +161,11 @@ def load_feature_config(
             continue
         if isinstance(doc, str):
             current = doc.strip()
-            raw_sections.setdefault(current, [])
+            if current != "presets":
+                raw_sections.setdefault(current, [])
+            continue
+        if isinstance(doc, dict) and current == "presets":
+            presets = {**(presets or {}), **doc}
             continue
         if not isinstance(doc, list):
             raise ValueError(f"unexpected document type: {type(doc)}")
@@ -193,6 +203,11 @@ def load_feature_config(
         rs = sections.setdefault(section, RuleSet())
         for i, (rid, condition, actions) in enumerate(rules):
             for j, act in enumerate(actions):
+                if presets and (act.get("presets") or act.get("contacts")):
+                    act = dict(act)
+                    act["extra_fields"] = expand_presets(act, presets)
+                    act.pop("presets", None)
+                    act.pop("contacts", None)
                 attrs = {"action": act.get("action", "-")}
                 for k, v in act.items():
                     if k == "action":

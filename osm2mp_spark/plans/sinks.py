@@ -218,3 +218,14 @@ def render_mp_restriction(opts: dict) -> str:
         lines.append(f"RestrParam={opts['param']}")
     lines.append("[END-Restrict]")
     return "\n".join(lines) + "\n"
+
+
+def render_mp_destination_sign(opts: dict) -> str:
+    """[Sign] section (cfg/output-polish.yml:173-183)."""
+    lines = ["[Sign]",
+             f"SignPoints={opts['node_from']},{opts['node_via']},{opts['node_to']}",
+             f"SignRoads={opts['road_from']},{opts['road_to']}"]
+    if opts.get("param"):
+        lines.append(f"SignParam={opts['param']}")
+    lines.append("[END-Sign]")
+    return "\n".join(lines) + "\n"

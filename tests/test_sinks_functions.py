@@ -400,3 +400,42 @@ class TestPolishRenderers:
         assert "Data1=" in p and "EndLevel=3" in p
         assert "Label=override" in p and "StreetDesc=X" in p
         assert "ignored" not in p
+
+
+class TestConfigPresetsAndSign:
+    def test_presets_section_expands(self):
+        from osm2mp_spark.functions.config import load_feature_config
+
+        text = """
+--- presets
+---
+contacts:
+  phone: '%phone_tag'
+  web: example.org
+
+--- objects
+---
+- condition:
+    - amenity = cafe
+  action:
+    - action: write_poi
+      type: '0x2a00'
+      contacts: 1
+      extra_fields:
+        web: '%website'
+"""
+        rs = load_feature_config(text)["objects"]
+        attrs = rs.rules[0].actions
+        assert attrs["phone"] == "%phone_tag"
+        assert attrs["web"] == "%website"  # action extra_fields override
+
+    def test_destination_sign_golden(self):
+        from osm2mp_spark.plans.sinks import render_mp_destination_sign
+
+        txt = render_mp_destination_sign({
+            "node_from": 1, "node_via": 2, "node_to": 3,
+            "road_from": 7, "road_to": 8, "param": "T,Centre",
+        })
+        assert "SignPoints=1,2,3" in txt and "SignRoads=7,8" in txt
+        assert "SignParam=T,Centre" in txt
+        assert txt.rstrip().endswith("[END-Sign]")
