@@ -189,7 +189,9 @@ def merge_roads(
         new = merged.join(
             l2, merged.label == l2.j_road, "left"
         ).select("road_id", F.least("label", "j_label").alias("label"))
-        new = new.localCheckpoint(eager=True)
+        # lazy checkpoint: the convergence agg below is the action that
+        # materializes it, so each round costs ONE job, not two
+        new = new.localCheckpoint(eager=False)
         # labels only ever DECREASE (min-propagation), so their total is a
         # strictly monotone convergence witness: one cheap agg on the
         # checkpointed frame instead of a self-join count per round

@@ -9,9 +9,11 @@ a real schema, so the Spark-side shape (column pruning, batch sizes,
 partition counts) is production-true even where a codec is stubbed
 (see sources.images: jpeg is a clearly-marked deterministic fake codec).
 
-Video frame-sampling is a stub: no video codec ships in this container —
-`sample_frames` raises NotImplementedError while documenting the intended
-batch contract.
+Video frame-sampling (`sample_frames`) is a real FVID seek-sampler: the
+container format carries a frame index, only the sampled frames are decoded
+(seek, never full-scan), and each sampled frame is re-encoded as a real PNG.
+Only the underlying *codec* is the documented container stand-in
+(sources.images FJPG/FVID — no image/video libs ship in this sandbox).
 """
 
 from __future__ import annotations

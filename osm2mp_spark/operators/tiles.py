@@ -223,8 +223,8 @@ def relation_tile_closure(
         .select("rel_id", "member_rel")
         .distinct()
     )
-    closure = base.localCheckpoint(eager=True)
-    n_prev = closure.count()
+    closure = base.localCheckpoint(eager=False)
+    n_prev = closure.count()  # materializes the lazy checkpoint — one job
     converged = False
     for _ in range(max_rounds):
         e = edges.alias("e")
@@ -239,7 +239,9 @@ def relation_tile_closure(
             F.col("c.tile_id").alias("tile_id"),
         )
         new = closure.unionByName(up).unionByName(down).distinct()
-        new = new.localCheckpoint(eager=True)
+        # lazy checkpoint: the convergence count is the materializing action,
+        # so each round costs ONE job instead of two
+        new = new.localCheckpoint(eager=False)
         n_new = new.count()
         closure = new
         if n_new == n_prev:
