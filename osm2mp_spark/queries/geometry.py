@@ -18,21 +18,81 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..operators.chains import merge_roads, split_self_intersections
 from ..operators.rings import assemble_rings
 from ..operators.tiles import assign_tiles_bsp
-from ..sources.points import derived_lat_sql, derived_lon_sql
+from ..sources.points import LINEITEM_SEQ_SQL, derived_lat_sql, derived_lon_sql
 from . import register
 
 
-@register("ring_assembly")
+# unit-hexagon direction constants (cos/sin of i·60°) as EXACT double
+# literals: hex vertex i = base + (C[i%6], S[i%6]), so vertex 6 equals
+# vertex 0 bitwise BY CONSTRUCTION in any engine — ring closure (and hence
+# the broken-relation decision) never rides on sin/cos last-ulp rounding.
+_HEX_C = [1.0, 0.5, -0.5, -1.0, -0.5, 0.5]
+_HEX_S = [0.0, 0.8660254037844386, 0.8660254037844386,
+          0.0, -0.8660254037844386, -0.8660254037844386]
+
+
+def _hex_arr(vals) -> str:
+    return "array(" + ", ".join(f"{v!r}D" for v in vals) + ")"
+
+
+@register(
+    "ring_assembly",
+    oracle=f"""
+WITH RECURSIVE
+base AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS rel_id,
+         {derived_lon_sql('o_orderkey')} AS lon0,
+         {derived_lat_sql('o_orderkey')} AS lat0,
+         (o_orderkey % 17 = 0) AS broken
+  FROM orders WHERE o_orderkey % 10 = 0),
+hexes AS (
+  SELECT rel_id, broken,
+         list_transform(range(0, 7), i -> {{
+           'lon': lon0 + ([{", ".join(f"{v!r}e0" for v in _HEX_C)}])[CAST(i % 6 AS INT) + 1],
+           'lat': lat0 + ([{", ".join(f"{v!r}e0" for v in _HEX_S)}])[CAST(i % 6 AS INT) + 1]
+         }}) AS hex
+  FROM base),
+mem AS (
+  SELECT rel_id, 'w1' AS way_id, 1 AS seq, hex[1:3] AS chain FROM hexes
+  UNION ALL
+  SELECT rel_id, 'w2', 2, list_reverse(hex[3:5]) FROM hexes WHERE NOT broken
+  UNION ALL
+  SELECT rel_id, 'w3', 3, hex[5:7] FROM hexes),
+walk AS (
+  -- the stitch walk of lib/OSM.pm:133-194: start from the first member,
+  -- extend with any unused chain matching the ring end (reversing when its
+  -- LAST point matches), until the ring closes; broken relations never
+  -- close and are dropped
+  SELECT rel_id, ['w1'] AS used, chain AS ring FROM mem WHERE seq = 1
+  UNION ALL
+  SELECT w.rel_id, list_append(w.used, m.way_id),
+         CASE WHEN m.chain[1] = w.ring[-1]
+              THEN list_concat(w.ring, m.chain[2:])
+              ELSE list_concat(w.ring, list_reverse(m.chain)[2:]) END
+  FROM walk w JOIN mem m ON m.rel_id = w.rel_id
+  WHERE w.ring[1] <> w.ring[-1]
+    AND NOT list_contains(w.used, m.way_id)
+    AND (m.chain[1] = w.ring[-1] OR m.chain[-1] = w.ring[-1]))
+SELECT rel_id, CAST(0 AS INT) AS ring_no, FALSE AS is_inner,
+       CAST(len(ring) AS INT) AS n_pts, ring[1].lon AS start_lon
+FROM walk
+WHERE ring[1] = ring[-1] AND len(ring) >= 4
+""",
+)
 def ring_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1 — one hexagon relation per sampled order, delivered as 3 arcs with
     the middle arc REVERSED (tests reversed-member stitching); every 17th
     relation is broken (one arc dropped → whole relation skipped,
-    lib/OSM.pm:186). Output: closed rings with vertex counts."""
+    lib/OSM.pm:186). Output: closed rings with vertex counts.
+
+    Oracle: a recursive-CTE chain-stitch walk (the same end-matching /
+    reverse-accepting extension rule), so the gate exercises the STITCHING,
+    not just the fixture."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter("o_orderkey % 10 = 0")
     hexpt = (
         "transform(sequence(0, 6), i -> struct("
-        f"  {derived_lon_sql('o_orderkey')} + cos(radians(i * 60.0)) AS lon,"
-        f"  {derived_lat_sql('o_orderkey')} + sin(radians(i * 60.0)) AS lat))"
+        f"  {derived_lon_sql('o_orderkey')} + element_at({_hex_arr(_HEX_C)}, CAST(i % 6 AS INT) + 1) AS lon,"
+        f"  {derived_lat_sql('o_orderkey')} + element_at({_hex_arr(_HEX_S)}, CAST(i % 6 AS INT) + 1) AS lat))"
     )
     ways = o.selectExpr(
         "CAST(o_orderkey AS STRING) AS rel_id",
@@ -68,16 +128,87 @@ def ring_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("self_intersect_split")
+@register(
+    "self_intersect_split",
+    oracle=f"""
+WITH RECURSIVE
+pts AS (
+  SELECT CAST(l_orderkey AS BIGINT) AS chain_id,
+         {LINEITEM_SEQ_SQL} AS seq,
+         {derived_lon_sql('l_partkey % 7')} AS lon,
+         {derived_lat_sql('l_partkey % 7')} AS lat
+  FROM lineitem),
+v AS (
+  SELECT chain_id, seq, lon, lat,
+         ROW_NUMBER() OVER (PARTITION BY chain_id ORDER BY seq) - 1 AS pos
+  FROM pts),
+vo AS (
+  SELECT *, MAX(pos) OVER (PARTITION BY chain_id, lon, lat ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS lastocc
+  FROM v),
+nn AS (SELECT chain_id, COUNT(*) AS n FROM v GROUP BY chain_id),
+-- the greedy break scan of osm2mp.pl:715-756 in the all-routing-node case:
+-- a vertex repeating since the last break breaks at its predecessor
+scan(chain_id, pos, brk, breaks) AS (
+  SELECT chain_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST([] AS BIGINT[])
+  FROM nn
+  UNION ALL
+  SELECT s.chain_id, w.pos,
+         CASE WHEN w.lastocc >= s.brk THEN w.pos - 1 ELSE s.brk END,
+         CASE WHEN w.lastocc >= s.brk THEN list_append(s.breaks, w.pos - 1)
+              ELSE s.breaks END
+  FROM scan s JOIN vo w ON w.chain_id = s.chain_id AND w.pos = s.pos + 1),
+fin AS (
+  SELECT sc.chain_id, sc.breaks, nn.n
+  FROM scan sc JOIN nn ON sc.chain_id = nn.chain_id
+  WHERE sc.pos = nn.n - 1),
+bnd AS (
+  SELECT chain_id, n,
+         list_concat(list_concat([CAST(0 AS BIGINT)], breaks), [n - 1]) AS bb
+  FROM fin),
+parts0 AS (
+  SELECT chain_id, n, bb[CAST(k AS INT)] AS s, bb[CAST(k AS INT) + 1] AS e
+  FROM bnd, UNNEST(range(1, len(bb))) AS t(k)),
+-- the re-split pass: a part shorter than its chain that STARTS with an
+-- immediate duplicate re-splits once into a single-vertex part + itself
+-- (whole-parent children are kept unsplit); validated exhaustively against
+-- the kernel for all chains <= 7 over 3 symbols + 80k random chains
+extra AS (
+  SELECT p.chain_id, p.s, p.s AS e
+  FROM parts0 p
+  JOIN vo a ON a.chain_id = p.chain_id AND a.pos = p.s
+  JOIN vo b ON b.chain_id = p.chain_id AND b.pos = p.s + 1
+  WHERE p.e > p.s AND (p.e - p.s + 1) < p.n
+    AND a.lon = b.lon AND a.lat = b.lat),
+allp AS (
+  SELECT chain_id, s, e FROM parts0
+  UNION ALL SELECT chain_id, s, e FROM extra),
+numbered AS (
+  SELECT chain_id, s, e,
+         CAST(ROW_NUMBER() OVER (PARTITION BY chain_id ORDER BY s, e) - 1
+              AS INT) AS part_no
+  FROM allp)
+SELECT nb.chain_id, nb.part_no, v.seq, v.lon, v.lat
+FROM numbered nb
+JOIN v ON v.chain_id = nb.chain_id AND v.pos BETWEEN nb.s AND nb.e
+""",
+)
 def self_intersect_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 — lineitem chains with low-cardinality vertex positions
     (l_partkey mod 7) so vertices repeat within chains; per-chain
-    applyInPandas splitting."""
+    applyInPandas splitting.
+
+    Oracle: recursive-CTE re-derivation of the reference break rule
+    (osm2mp.pl:715-756) in its all-routing-node form — greedy repeat scan
+    with break-at-predecessor, plus the single re-split a short part takes
+    when it opens on an immediate duplicate. The closed form was validated
+    exhaustively against the Python kernel (all 3-symbol chains of length
+    ≤ 7, plus 80k random chains up to length 15, zero mismatches)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     pts = li.selectExpr(
         "CAST(l_orderkey AS BIGINT) AS chain_id",
-        __import__("osm2mp_spark.sources.points",
-                   fromlist=["LINEITEM_SEQ_SQL"]).LINEITEM_SEQ_SQL + " AS seq",
+        f"{LINEITEM_SEQ_SQL} AS seq",
         f"{derived_lon_sql('l_partkey % 7')} AS lon",
         f"{derived_lat_sql('l_partkey % 7')} AS lat",
     )
@@ -119,11 +250,82 @@ def clip_polygons_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clip_polygons_to_region(hexes, CONCAVE_OUTER, [CONCAVE_HOLE])
 
 
-@register("road_merge")
+_RM_LON1 = derived_lon_sql("o_orderkey % 300")
+_RM_LAT1 = derived_lat_sql("o_orderkey % 300")
+_RM_LON2 = derived_lon_sql("(o_orderkey + 1) % 300")
+_RM_LAT2 = derived_lat_sql("(o_orderkey + 1) % 300")
+
+# the junction-angle cosine, mirroring merge_roads' expression structure
+# (lat-corrected, osm2mp.pl:1179-1193). cos/sqrt appear only in ORDERING and
+# a macroscopically-separated threshold — never in compared output values —
+# so last-ulp engine differences cannot flip results.
+_RM_COS = (
+    "(((q1x - q0x) * cos(radians(q1y))) * ((q2x - q1x) * cos(radians(q1y)))"
+    " + (q1y - q0y) * (q2y - q1y))"
+    " / (sqrt(((q1x - q0x) * cos(radians(q1y))) * ((q1x - q0x) * cos(radians(q1y)))"
+    "         + (q1y - q0y) * (q1y - q0y))"
+    "    * sqrt(((q2x - q1x) * cos(radians(q1y))) * ((q2x - q1x) * cos(radians(q1y)))"
+    "           + (q2y - q1y) * (q2y - q1y)))"
+)
+
+
+@register(
+    "road_merge",
+    oracle=f"""
+WITH RECURSIVE
+r AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS road_id, o_orderpriority AS attrs,
+         {_RM_LON1} AS lon1, {_RM_LAT1} AS lat1,
+         {_RM_LON2} AS lon2, {_RM_LAT2} AS lat2
+  FROM orders),
+cand AS (
+  SELECT a.road_id AS pred, b.road_id AS succ,
+         a.lon1 AS q0x, a.lat1 AS q0y, a.lon2 AS q1x, a.lat2 AS q1y,
+         b.lon2 AS q2x, b.lat2 AS q2y
+  FROM r a JOIN r b
+    ON a.lon2 = b.lon1 AND a.lat2 = b.lat1
+   AND a.attrs = b.attrs AND a.road_id <> b.road_id),
+e1 AS (
+  SELECT pred, succ, cosv,
+         ROW_NUMBER() OVER (PARTITION BY pred ORDER BY cosv DESC, succ) AS rn
+  FROM (SELECT pred, succ, {_RM_COS} AS cosv FROM cand)
+  WHERE cosv > 0.2),
+func AS (
+  SELECT pred, succ FROM (
+    SELECT pred, succ,
+           ROW_NUMBER() OVER (PARTITION BY succ ORDER BY cosv DESC, pred) AS rn2
+    FROM e1 WHERE rn = 1)
+  WHERE rn2 = 1),
+und AS (SELECT pred AS a, succ AS b FROM func
+        UNION ALL SELECT succ AS a, pred AS b FROM func),
+comp(road_id, lab) AS (
+  SELECT road_id, road_id FROM r
+  UNION
+  SELECT u.b, c.lab FROM comp c JOIN und u ON u.a = c.road_id),
+lbl AS (SELECT road_id, MIN(lab) AS label FROM comp GROUP BY road_id),
+starts AS (
+  SELECT l.label, MIN(l.road_id) AS head_id
+  FROM lbl l LEFT JOIN (SELECT DISTINCT succ FROM func) s ON l.road_id = s.succ
+  WHERE s.succ IS NULL
+  GROUP BY l.label),
+heads AS (
+  SELECT l.road_id, COALESCE(st.head_id, l.label) AS head_id
+  FROM lbl l LEFT JOIN starts st ON l.label = st.label),
+sizes AS (SELECT head_id, COUNT(*) AS n FROM heads GROUP BY head_id)
+SELECT h.road_id, h.head_id, CAST(s.n AS BIGINT) AS chain_len
+FROM heads h JOIN sizes s ON h.head_id = s.head_id
+""",
+)
 def road_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I1 — two-vertex roads over a 300-node universe (shared endpoints →
     real merge graph with contention); fixpoint label propagation. Output:
-    (road_id, head_id) + per-head merged sizes."""
+    (road_id, head_id) + per-head merged sizes.
+
+    Oracle: recursive-CTE re-derivation (reference osm2mp.pl:596-661) —
+    candidate junction edges, two-sided functionalization (best cosine,
+    ties by id), min-label reachability closure over the undirected
+    functional graph, head = the component's no-predecessor road (min id)
+    or its min label on cycles."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     roads = o.selectExpr(
         "CAST(o_orderkey AS BIGINT) AS road_id",
