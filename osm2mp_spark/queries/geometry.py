@@ -19,7 +19,7 @@ from ..operators.chains import merge_roads, split_self_intersections
 from ..operators.rings import assemble_rings
 from ..operators.tiles import assign_tiles_bsp
 from ..sources.points import LINEITEM_SEQ_SQL, derived_lat_sql, derived_lon_sql
-from . import register
+from . import golden_oracle, register
 
 
 # unit-hexagon direction constants (cos/sin of i·60°) as EXACT double
@@ -224,7 +224,7 @@ CONCAVE_OUTER = [
 CONCAVE_HOLE = [(-90.0, -45.0), (-30.0, -45.0), (-30.0, -20.0), (-90.0, -20.0)]
 
 
-@register("clip_polygons_concave")
+@register("clip_polygons_concave", oracle=golden_oracle("clip_polygons_concave"))
 def clip_polygons_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3 — hexagon polygons (radius 2°, centered at derived positions)
     clipped to the concave L-region with a hole via the Greiner–Hormann
@@ -390,7 +390,7 @@ def sea_chain_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coast.unionByName(lake).unionByName(isle)
 
 
-@register("sea_synthesis")
+@register("sea_synthesis", oracle=golden_oracle("sea_synthesis"))
 def sea_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G10-G12 at scale — sf-scaling coastline chains synthesized from
     orders, water synthesis run PER TILE inside applyInPandas against each
@@ -457,7 +457,7 @@ def sea_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return synthesize_water_per_tile(full, nx=8, ny=8)
 
 
-@register("bsp_tiles")
+@register("bsp_tiles", oracle=golden_oracle("bsp_tiles"))
 def bsp_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I3/J13 — build the BSP tile tree from the SPARK A4 density histogram
     (√count-weighted splits over cell counts; the driver sees O(cells),

@@ -195,3 +195,47 @@ class TestBSPFromHistogram:
         assert np.array_equal(s_iy[order], n_iy)
         assert np.array_equal(s_n[order], n_n)
         assert s_bbox == (lons.min(), lats.min(), lons.max(), lats.max())
+
+    def test_hand_derived_tiling_of_fixed_histogram(self):
+        """VERDICT r02 #3: the BSP splitter held to a HAND-DERIVED expected
+        tiling (splitter semantics _old/splitter.pl:208-301), not just
+        invariants. 4 equal 100-point cells at the corners of a 4x4 world,
+        max 150/tile: first split on latitude (lat-corrected width 4*cos(2deg)
+        < height 4), then each half on longitude, leaves shrunk to their
+        occupied cell; canonical renumbering (minlon asc, minlat desc)."""
+        from osm2mp_spark.spatial.bsp import build_bsp_tiles_from_histogram
+
+        ix = np.array([0, 3, 0, 3])
+        iy = np.array([0, 0, 3, 3])
+        counts = np.array([100, 100, 100, 100])
+        tree = build_bsp_tiles_from_histogram(
+            ix, iy, counts, max_tile_nodes=150, lat_cell=1.0, lon_cell=1.0
+        )
+        assert tree.leaves() == [
+            (0, 0.0, 3.0, 1.0, 4.0),
+            (1, 0.0, 0.0, 1.0, 1.0),
+            (2, 3.0, 3.0, 4.0, 4.0),
+            (3, 3.0, 0.0, 4.0, 1.0),
+        ]
+        # root split: axis=lat at 2.0; second level: axis=lon at 2.0
+        assert int(tree.axis[0]) == 1 and float(tree.value[0]) == 2.0
+        probes_lon = np.array([0.5, 0.5, 3.5, 3.5, 10.0])
+        probes_lat = np.array([0.5, 3.5, 0.5, 3.5, 10.0])
+        assert tree.assign(probes_lon, probes_lat).tolist() == [1, 0, 3, 2, 2]
+
+    def test_sqrt_count_weighted_split_value(self):
+        """The split value is the sqrt(count)-weighted centroid snapped to a
+        cell edge (splitter.pl:226-247): cells 400@ix0 / 100@ix5 give
+        (20*0.5 + 10*5.5)/30 = 2.17 -> split at 2.0. A count-weighted mean
+        would split at 1.0, an unweighted one at 3.0 - this pins the rule."""
+        from osm2mp_spark.spatial.bsp import build_bsp_tiles_from_histogram
+
+        tree = build_bsp_tiles_from_histogram(
+            np.array([0, 5]), np.array([0, 0]), np.array([400, 100]),
+            max_tile_nodes=300, lat_cell=1.0, lon_cell=1.0,
+        )
+        assert int(tree.axis[0]) == 0 and float(tree.value[0]) == 2.0
+        assert tree.leaves() == [
+            (0, 0.0, 0.0, 1.0, 1.0),
+            (1, 5.0, 0.0, 6.0, 1.0),
+        ]

@@ -97,6 +97,9 @@ def main():
         if name not in oracles:
             print(f"ok?  {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s) — no oracle")
             continue
+        if "GOLDEN sf0.01" in oracles[name] and "sf0.01" not in SF_DIR:
+            print(f"skip {name}: golden oracle pins sf0.01, SF_DIR={SF_DIR}")
+            continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as e:
