@@ -238,7 +238,12 @@ def clip_polygons_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clip import clip_polygons_to_region
     from ..sources.points import with_derived_position
 
-    pts = with_derived_position(cust, "poly_id")
+    # the sf parquet is one row-group → one scan task; round-robin the tiny
+    # polygon dimension across cores so the Arrow kernel parallelizes (at
+    # production scale inputs arrive multi-partition and this is a no-op
+    # choice — the kernel itself is row-independent)
+    n_par = spark.sparkContext.defaultParallelism
+    pts = with_derived_position(cust, "poly_id").repartition(n_par)
     hexes = pts.select(
         "poly_id",
         F.expr(
