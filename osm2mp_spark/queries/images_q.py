@@ -1,6 +1,10 @@
-"""Image-payload queries (rows-only at the driver gate — the images table is
-engine-generated, not a DuckDB view; exact payload semantics are
-pytest-verified per FIXTURES.md §7).
+"""Image/video/audio-payload queries. The payload tables are engine-generated
+(no DuckDB view exists), so the gate compares against committed GOLDEN
+parquet artifacts (tools/make_golden.py; exact payload semantics additionally
+pytest-verified per FIXTURES.md §7). Every aggregate here is
+order-independent exact arithmetic (counts, min/max, sums of per-row-
+quantized bigints — never float AVG), so outputs are bit-identical at any
+parallelism and the golden hash is stable.
 """
 
 from __future__ import annotations
@@ -9,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.images import extract_features, verify_images
 from ..sources.images import generate_images_df
-from . import register
+from . import golden_oracle, register
 
 
 def _n_for(spark: SparkSession, sf_dir: str) -> int:
@@ -19,7 +23,7 @@ def _n_for(spark: SparkSession, sf_dir: str) -> int:
     )
 
 
-@register("image_verify")
+@register("image_verify", oracle=golden_oracle("image_verify"))
 def image_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row payload invariant over the distributed-generated images table:
     decoded-pixel allclose (exact for png/bmp, PSNR≥40dB for lossy), caption
@@ -35,7 +39,7 @@ def image_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("image_spatial_join")
+@register("image_spatial_join", oracle=golden_oracle("image_spatial_join"))
 def image_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship at the image table (the true graft shape): images →
     derived positions (hotspot-skewed) → PIP city join → per-city image
@@ -55,12 +59,15 @@ def image_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("city_id")
         .agg(
             F.count("*").alias("n_images"),
-            F.expr("CAST(ROUND(AVG(std_gray) * 100) AS BIGINT)").alias("avg_std_x100"),
+            # sum of per-row-quantized values: order-independent exact (a
+            # float AVG varies in the last ulp with partition order and can
+            # flip a ROUND — unacceptable under the golden hash gate)
+            F.expr("SUM(CAST(FLOOR(std_gray * 1e6) AS BIGINT))").alias("sum_std_q6"),
         )
     )
 
 
-@register("video_frame_sample")
+@register("video_frame_sample", oracle=golden_oracle("video_frame_sample"))
 def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling over the FVID container: generate sf-scaled
     videos executor-side, seek-extract every 6th frame (untouched frames'
@@ -77,8 +84,8 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("video_id")
         .agg(
             F.count("*").alias("n_sampled"),
-            F.expr("CAST(ROUND(AVG(mean_gray) * 100) AS BIGINT)").alias(
-                "avg_gray_x100"
+            F.expr("SUM(CAST(FLOOR(mean_gray * 1e6) AS BIGINT))").alias(
+                "sum_gray_q6"
             ),
             F.min("frame_no").alias("first_frame"),
             F.max("frame_no").alias("last_frame"),
@@ -86,7 +93,7 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("audio_verify")
+@register("audio_verify", oracle=golden_oracle("audio_verify"))
 def audio_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio payload invariant over the distributed-generated WAV table:
     decoded PCM byte-matches the deterministic generator (lossless codec →
@@ -103,7 +110,7 @@ def audio_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("audio_features")
+@register("audio_features", oracle=golden_oracle("audio_features"))
 def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio scalar features (RMS / zero-crossing rate / peak / duration)
     aggregated into distribution buckets — bytes pruned before the
@@ -120,7 +127,7 @@ def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("zcr_bucket")
         .agg(
             F.count("*").alias("n_clips"),
-            F.expr("CAST(ROUND(AVG(rms)) AS BIGINT)").alias("avg_rms"),
+            F.expr("SUM(CAST(FLOOR(rms) AS BIGINT))").alias("sum_rms_q"),
             F.max("peak").alias("max_peak"),
         )
     )

@@ -69,7 +69,13 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 
 
 def main():
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    only = set(args)
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("check_correctness")
@@ -84,6 +90,7 @@ def main():
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failed = []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -92,9 +99,14 @@ def main():
             sdf = fn(spark, SF_DIR).toPandas()
         except Exception as e:
             failed.append(name)
+            results[name] = {"rows_match": False, "err": f"spark: {type(e).__name__}"}
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             continue
         if name not in oracles:
+            results[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(sdf), "oracle_rows": None, "err": "no_oracle",
+            }
             print(f"ok?  {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s) — no oracle")
             continue
         if "GOLDEN sf0.01" in oracles[name] and "sf0.01" not in SF_DIR:
@@ -104,9 +116,19 @@ def main():
             odf = con.sql(oracles[name]).df()
         except Exception as e:
             failed.append(name)
+            results[name] = {"rows_match": False, "err": f"duckdb: {str(e)[:200]}"}
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
             continue
         issues = compare(name, sdf, odf)
+        results[name] = {
+            "rows_match": len(sdf) == len(odf),
+            "schema_match": sorted(sdf.columns) == sorted(odf.columns),
+            "hash_match": not issues,
+            "spark_rows": len(sdf),
+            "oracle_rows": len(odf),
+            "err": None,
+            "golden": "GOLDEN sf0.01" in oracles[name] or None,
+        }
         if issues:
             failed.append(name)
             print(f"FAIL {name} ({len(sdf)} spark rows / {len(odf)} oracle rows):")
@@ -119,6 +141,12 @@ def main():
         else:
             print(f"PASS {name}: {len(sdf)} rows match exactly ({time.time()-t0:.1f}s)")
     print(f"\n{'ALL PASS' if not failed else 'FAILURES: ' + ', '.join(failed)}")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {json_out} ({len(results)} queries)")
     spark.stop()
     sys.exit(1 if failed else 0)
 

@@ -26,7 +26,13 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import SparkSession
 
-GOLDEN_QUERIES = ["bsp_tiles", "sea_synthesis", "clip_polygons_concave"]
+GOLDEN_QUERIES = [
+    "bsp_tiles", "sea_synthesis", "clip_polygons_concave",
+    # multimodal payload queries: engine-generated tables, no DuckDB view
+    # possible — all aggregates are order-independent exact arithmetic
+    "image_verify", "image_spatial_join", "video_frame_sample",
+    "audio_verify", "audio_features",
+]
 SF_DIR = "/root/testdata/sf0.01"
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "tests", "golden")
