@@ -217,3 +217,74 @@ def merge_roads(
             "road_id", F.coalesce("head_id", "label").alias("head_id")
         )
     )
+
+
+def fix_close_nodes_walk(
+    pts: DataFrame,
+    fix_dist: float = 5.0,
+    chain_col: str = "chain_id",
+    seq_col: str = "seq",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """G14, the reference's SEQUENTIAL variant (osm2mp.pl:880-890 walk +
+    fix_close_nodes :1145-1175): walk each chain in order; every too-close
+    adjacent pair is pushed apart symmetrically to fix_dist around its
+    midpoint, and the mutation COMPOUNDS — the next pair reads the moved
+    vertex (the accordion dynamic the one-pass variant linearizes away).
+
+    Canonical deviations (documented, SURVEY §7.3 risk 4): chains process
+    independently in any order (the reference's Perl-hash road order only
+    matters for nodes shared across roads); the lat-correction klon is fixed
+    to 1 (equator-planar) so every output coordinate is exact-arithmetic
+    (+ - * / sqrt abs sign) and bit-portable to the DuckDB oracle — the
+    reference's cos(clat·3.14159/180) factor is a per-pair scale, not a
+    structural difference. Pairs with identical coordinates are skipped
+    (the reference's `$_ ne $cnode` node-identity guard).
+
+    Output: (chain_col, seq_col, lon, lat) — FINAL positions of every vertex.
+    """
+    from .grouped import grouped_map_in_pandas
+
+    ldist = float(fix_dist)
+    schema = f"{chain_col} bigint, {seq_col} bigint, {lon} double, {lat} double"
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        lons = pdf[lon].to_numpy().copy()
+        lats = pdf[lat].to_numpy().copy()
+        for i in range(len(lons) - 1):
+            dlon = lons[i + 1] - lons[i]
+            dlat = lats[i + 1] - lats[i]
+            if dlon == 0.0 and dlat == 0.0:
+                continue
+            if dlat * dlat + dlon * dlon < ldist * ldist:
+                clon = (lons[i] + lons[i + 1]) / 2.0
+                clat = (lats[i] + lats[i + 1]) / 2.0
+                if dlon == 0.0:
+                    sgn = 1.0 if dlat == 0.0 else (1.0 if dlat > 0.0 else -1.0)
+                    lons[i] = clon
+                    lats[i] = clat - ldist / 2.0 * sgn
+                    lons[i + 1] = clon
+                    lats[i + 1] = clat + ldist / 2.0 * sgn
+                else:
+                    azim = dlat / dlon
+                    ndlon = math.sqrt(ldist * ldist / (1.0 + azim * azim)) / 2.0
+                    ndlat = ndlon * abs(azim)
+                    slon = 1.0 if dlon > 0.0 else -1.0
+                    slat = 0.0 if dlat == 0.0 else (1.0 if dlat > 0.0 else -1.0)
+                    lons[i] = clon - ndlon * slon
+                    lats[i] = clat - ndlat * slat
+                    lons[i + 1] = clon + ndlon * slon
+                    lats[i + 1] = clat + ndlat * slat
+        return pd.DataFrame(
+            {
+                chain_col: pdf[chain_col].to_numpy(),
+                seq_col: pdf[seq_col].to_numpy(),
+                lon: lons,
+                lat: lats,
+            }
+        )
+
+    return grouped_map_in_pandas(pts, chain_col, walk, schema=schema, order=seq_col)

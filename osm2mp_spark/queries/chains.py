@@ -187,3 +187,102 @@ def fix_close_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("lat") - (F.col("nlat") - F.col("lat")) * fac).alias("new_lat"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# G14 sequential variant: the reference's compounding close-node walk
+# (osm2mp.pl:880-890 + fix_close_nodes :1145-1175) — pairs are fixed IN
+# CHAIN ORDER and each fix moves the vertex the next pair reads (accordion).
+# Fixture: dense chains (3.5-degree longitude steps, < fix_dist=5) so nearly
+# every pair compounds. All arithmetic is + - * / sqrt abs sign — exact in
+# both engines; the oracle replays the walk as a recursive CTE.
+# ---------------------------------------------------------------------------
+
+_SEQ_LON = "(-90.0 + (l_linenumber - 1) * 3.5E0)"
+
+
+def _seq_lat() -> str:
+    return f"({derived_lat_sql('l_orderkey')} + ({_VKEY} % 3) * 1.0E0)"
+
+
+def _fix_seq_oracle() -> str:
+    L = 5.0
+    return f"""
+WITH RECURSIVE
+pts AS (
+  SELECT CAST(l_orderkey AS BIGINT) AS chain_id, {_SEQ} AS seq,
+         {_SEQ_LON} AS lon, {_seq_lat()} AS lat
+  FROM lineitem),
+v AS (
+  SELECT chain_id, seq, lon, lat,
+         ROW_NUMBER() OVER (PARTITION BY chain_id ORDER BY seq) - 1 AS pos
+  FROM pts),
+nn AS (SELECT chain_id, COUNT(*) AS n FROM v GROUP BY chain_id),
+walk(chain_id, pos, cur_lon, cur_lat, fin_lon, fin_lat) AS (
+  SELECT chain_id, pos, lon, lat, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+  FROM v WHERE pos = 0
+  UNION ALL
+  SELECT chain_id, pos,
+    CASE WHEN moved THEN
+      CASE WHEN dlon = 0.0 THEN clon ELSE clon + ndlon * slon END
+    ELSE nlon END,
+    CASE WHEN moved THEN
+      CASE WHEN dlon = 0.0 THEN clat + {L!r} / 2.0 * sgn0
+           ELSE clat + ndlat * slat END
+    ELSE nlat END,
+    CASE WHEN moved THEN
+      CASE WHEN dlon = 0.0 THEN clon ELSE clon - ndlon * slon END
+    ELSE cur_lon END,
+    CASE WHEN moved THEN
+      CASE WHEN dlon = 0.0 THEN clat - {L!r} / 2.0 * sgn0
+           ELSE clat - ndlat * slat END
+    ELSE cur_lat END
+  FROM (
+    SELECT t.*,
+      (NOT (dlon = 0.0 AND dlat = 0.0))
+        AND (dlat * dlat + dlon * dlon < {L!r} * {L!r}) AS moved,
+      sqrt({L!r} * {L!r} / (1.0 + azim * azim)) / 2.0 AS ndlon,
+      sqrt({L!r} * {L!r} / (1.0 + azim * azim)) / 2.0 * abs(azim) AS ndlat,
+      CASE WHEN dlon > 0.0 THEN 1.0 ELSE -1.0 END AS slon,
+      CASE WHEN dlat = 0.0 THEN 0.0 WHEN dlat > 0.0 THEN 1.0 ELSE -1.0 END AS slat,
+      CASE WHEN dlat = 0.0 THEN 1.0 WHEN dlat > 0.0 THEN 1.0 ELSE -1.0 END AS sgn0
+    FROM (
+      SELECT w.chain_id, x.pos, x.lon AS nlon, x.lat AS nlat,
+             w.cur_lon, w.cur_lat,
+             x.lon - w.cur_lon AS dlon, x.lat - w.cur_lat AS dlat,
+             (w.cur_lon + x.lon) / 2.0 AS clon,
+             (w.cur_lat + x.lat) / 2.0 AS clat,
+             (x.lat - w.cur_lat) /
+               (CASE WHEN x.lon - w.cur_lon = 0.0 THEN 1.0
+                     ELSE x.lon - w.cur_lon END) AS azim
+      FROM walk w JOIN v x ON x.chain_id = w.chain_id AND x.pos = w.pos + 1
+    ) t
+  ) u
+)
+SELECT w.chain_id, v.seq, w.fin_lon AS lon, w.fin_lat AS lat
+FROM walk w JOIN v ON v.chain_id = w.chain_id AND v.pos = w.pos - 1
+WHERE w.pos >= 1
+UNION ALL
+SELECT w.chain_id, v.seq, w.cur_lon AS lon, w.cur_lat AS lat
+FROM walk w
+JOIN nn ON nn.chain_id = w.chain_id
+JOIN v ON v.chain_id = w.chain_id AND v.pos = w.pos
+WHERE w.pos = nn.n - 1
+"""
+
+
+@register("fix_close_nodes_seq", oracle=_fix_seq_oracle())
+def fix_close_nodes_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G14 sequential/compounding variant (osm2mp.pl:880-890, :1145-1175) —
+    see operators.chains.fix_close_nodes_walk for the faithful-walk rules
+    and documented canonical deviations. The oracle replays the walk as a
+    recursive CTE carrying (current vertex, finalized predecessor) state."""
+    from ..operators.chains import fix_close_nodes_walk
+
+    pts = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+        "CAST(l_orderkey AS BIGINT) AS chain_id",
+        f"{_SEQ} AS seq",
+        f"{_SEQ_LON} AS lon",
+        f"{_seq_lat()} AS lat",
+    )
+    return fix_close_nodes_walk(pts, fix_dist=5.0)

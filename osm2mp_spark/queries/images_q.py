@@ -131,3 +131,15 @@ def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("peak").alias("max_peak"),
         )
     )
+
+
+@register("audio_spectrogram", oracle=golden_oracle("audio_spectrogram"))
+def audio_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip framed power-spectrogram band energies (4 equal frequency
+    bands, FLOOR-quantized bigints) + dominant band — the seeded tones sweep
+    100..2140 Hz so dominant_band tracks the tone deterministically."""
+    from ..operators.audio import spectrogram_features
+    from ..sources.audio import generate_audio_df
+
+    clips = generate_audio_df(spark, max(20, _n_for(spark, sf_dir) // 10))
+    return spectrogram_features(clips)

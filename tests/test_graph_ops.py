@@ -650,3 +650,49 @@ class TestCoastlineFuzz:
             w1 = synthesize_water(dict(chains), bbox)
             w2 = synthesize_water(dict(chains), bbox)
             assert w1["seas"] == w2["seas"]
+
+
+class TestFixCloseNodesWalk:
+    """G14 sequential variant: hand-computed accordion fixtures."""
+
+    def _run(self, spark, chains):
+        import pandas as pd
+        from osm2mp_spark.operators.chains import fix_close_nodes_walk
+
+        rows = []
+        for cid, pts in chains.items():
+            for i, (lon, lat) in enumerate(pts):
+                rows.append((cid, i, float(lon), float(lat)))
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["chain_id", "seq", "lon", "lat"])
+        )
+        out = fix_close_nodes_walk(df, fix_dist=5.0).toPandas()
+        return {
+            cid: [
+                (r.lon, r.lat)
+                for r in out[out.chain_id == cid]
+                .sort_values("seq")
+                .itertuples()
+            ]
+            for cid in chains
+        }
+
+    def test_accordion_compounds(self, spark):
+        # pair(0,1): centers 1.5, pushed to -1 / 4; pair(1,2) then reads the
+        # MOVED vertex 4: center 5, pushed to 2.5 / 7.5 — the one-pass
+        # variant would instead fix (3,6) around center 4.5
+        got = self._run(spark, {1: [(0, 0), (3, 0), (6, 0)]})[1]
+        assert got == [(-1.0, 0.0), (2.5, 0.0), (7.5, 0.0)]
+
+    def test_vertical_and_identical_pairs(self, spark):
+        got = self._run(
+            spark, {1: [(0, 0), (0, 1)], 2: [(10, 10), (10, 10)]}
+        )
+        # dlon == 0: symmetric +-ldist/2 around the midpoint latitude
+        assert got[1] == [(0.0, -2.0), (0.0, 3.0)]
+        # identical coordinates: the reference's node-identity guard skips
+        assert got[2] == [(10.0, 10.0), (10.0, 10.0)]
+
+    def test_far_pairs_untouched(self, spark):
+        got = self._run(spark, {1: [(0, 0), (20, 0), (40, 3)]})[1]
+        assert got == [(0.0, 0.0), (20.0, 0.0), (40.0, 3.0)]

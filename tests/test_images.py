@@ -221,3 +221,52 @@ class TestAudio:
         assert v.n == v.n_samples_ok == v.n_rate_ok > 0
         f = E.queries()["audio_features"](spark, "/root/testdata/sf0.001").toPandas()
         assert f.n_clips.sum() == v.n
+
+
+class TestAudioSpectrogram:
+    def test_dominant_band_tracks_tone(self, spark):
+        """A pure tone lands its power in the frequency band containing it:
+        rfft bin k covers k*rate/n_fft Hz; with rate=8000, n_fft=256 each of
+        the 4 bands spans 1000 Hz — 200 Hz tone -> band 0, 3900 Hz -> band 3."""
+        import pandas as pd
+
+        from osm2mp_spark.operators.audio import spectrogram_features
+        from osm2mp_spark.sources.audio import SAMPLE_RATE, encode_wav
+
+        def tone(freq, n=4000):
+            t = np.arange(n) / SAMPLE_RATE
+            return np.round(20000 * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "audio_id": ["low", "high"],
+                    "bytes": [encode_wav(tone(200.0)), encode_wav(tone(3900.0))],
+                }
+            )
+        )
+        out = spectrogram_features(df).toPandas().set_index("audio_id")
+        assert out.loc["low", "dominant_band"] == 0
+        assert out.loc["high", "dominant_band"] == 3
+        # band energies are per-clip quantized bigints, strictly positive
+        # in the tone band and dwarfing the others
+        assert out.loc["low", "band_e0"] > 100 * out.loc["low", "band_e3"]
+        assert out.loc["high", "band_e3"] > 100 * out.loc["high", "band_e0"]
+
+    def test_frame_count(self, spark):
+        import pandas as pd
+
+        from osm2mp_spark.operators.audio import spectrogram_features
+        from osm2mp_spark.sources.audio import encode_wav
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "audio_id": ["a"],
+                    "bytes": [encode_wav(np.zeros(1000, dtype=np.int16))],
+                }
+            )
+        )
+        out = spectrogram_features(df).toPandas()
+        # 1 + (1000 - 256) // 128 = 6 frames
+        assert int(out.n_frames.iloc[0]) == 6

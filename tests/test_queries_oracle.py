@@ -33,6 +33,11 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
     if name not in oracles:
         assert len(sdf) >= 0  # rows-only check (non-SQL-expressible op)
         return
+    if "GOLDEN sf0.01" in oracles[name] and "sf0.01" not in sf_dir:
+        # golden artifacts pin sf0.01; this suite runs sf0.001 — the gate
+        # mirror (tools/check_correctness.py) compares them at sf0.01
+        assert len(sdf) >= 0
+        return
     odf = duck.sql(oracles[name]).df()
     assert sorted(sdf.columns) == sorted(odf.columns)
     assert len(sdf) == len(odf)

@@ -31,7 +31,7 @@ GOLDEN_QUERIES = [
     # multimodal payload queries: engine-generated tables, no DuckDB view
     # possible — all aggregates are order-independent exact arithmetic
     "image_verify", "image_spatial_join", "video_frame_sample",
-    "audio_verify", "audio_features",
+    "audio_verify", "audio_features", "audio_spectrogram",
 ]
 SF_DIR = "/root/testdata/sf0.01"
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
