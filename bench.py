@@ -177,7 +177,7 @@ def scale_session(cores: int, n: int, reps: int = 3) -> None:
     s.stop()
 
 
-def bench_two_level_jvm(n_points: int = 120_000_000, sessions: int = 3) -> dict:
+def bench_two_level_jvm(n_points: int = 120_000_000, sessions: int | None = None) -> dict:
     """Pinned N vs 4N protocol: each level runs in its own JVM pinned with
     `taskset -c 0-(cores-1)`, sessions interleaved (2,8)x3, one untimed
     warm-up + best-of-3 per session; per-level throughput = best across
@@ -185,6 +185,8 @@ def bench_two_level_jvm(n_points: int = 120_000_000, sessions: int = 3) -> dict:
     reported."""
     import subprocess
 
+    if sessions is None:
+        sessions = int(os.environ.get("SPARK_GRAFT_SCALE_SESSIONS", "3"))
     me = os.path.abspath(__file__)
     low, high = max(1, CPUS // 16), max(4, CPUS // 4)
     if "SPARK_GRAFT_SCALE_LEVELS" in os.environ:
