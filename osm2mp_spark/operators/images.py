@@ -86,9 +86,15 @@ def verify_images(df: DataFrame, psnr_min: float = 40.0) -> DataFrame:
     return cols.mapInPandas(kernel, schema=VERIFY_SCHEMA)
 
 
-def extract_features(df: DataFrame) -> DataFrame:
+def extract_features(df: DataFrame, carry: list[str] | None = None) -> DataFrame:
     """Per-channel means, grayscale std, and an 8×8 difference hash — the
-    embedding-ish features downstream dedup/ANN stages consume."""
+    embedding-ish features downstream dedup/ANN stages consume.
+
+    `carry`: extra input columns passed through unchanged (e.g. lon/lat) so
+    a downstream spatial stage can run on THIS output instead of re-deriving
+    a second branch of the image lineage — branching an expensive generation/
+    decode DAG executes it once per branch."""
+    carry = list(carry or [])
 
     def kernel(it):
         for pdf in it:
@@ -115,17 +121,25 @@ def extract_features(df: DataFrame) -> DataFrame:
                         float(gray.std()),
                         dh,
                     )
+                    + tuple(getattr(r, c) for c in carry)
                 )
             yield pd.DataFrame(
                 rows,
-                columns=["image_id", "mean_r", "mean_g", "mean_b", "std_gray", "dhash"],
+                columns=["image_id", "mean_r", "mean_g", "mean_b", "std_gray",
+                         "dhash", *carry],
             )
 
     from ..shipping import ensure_shipped
 
     ensure_shipped(df.sparkSession)
-    return df.select("image_id", "bytes", "fmt").mapInPandas(
-        kernel, schema=FEATURE_SCHEMA
+    schema = FEATURE_SCHEMA
+    if carry:
+        carried = df.select(*carry).schema
+        schema += ", " + ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in carried.fields
+        )
+    return df.select("image_id", "bytes", "fmt", *carry).mapInPandas(
+        kernel, schema=schema
     )
 
 

