@@ -223,12 +223,20 @@ def relation_tile_closure(
         .select("rel_id", "member_rel")
         .distinct()
     )
+    # Semi-naive (delta) iteration — the Datalog evaluation shape: each
+    # round propagates only the FRONTIER (pairs discovered last round) and
+    # anti-joins the known closure, so per-round work tracks the delta size,
+    # not the accumulated closure (the naive loop re-distincted the whole
+    # closure every round). One job per round (the delta count materializes
+    # the lazy checkpoint).
     closure = base.localCheckpoint(eager=False)
-    n_prev = closure.count()  # materializes the lazy checkpoint — one job
+    closure.count()
+    frontier = closure
+    edges = edges.localCheckpoint(eager=False)
     converged = False
     for _ in range(max_rounds):
         e = edges.alias("e")
-        c = closure.alias("c")
+        c = frontier.alias("c")
         up = e.join(
             c, F.col("e.member_rel") == F.col("c.rel_id")
         ).select(F.col("e.rel_id").alias("rel_id"), F.col("c.tile_id").alias("tile_id"))
@@ -238,16 +246,17 @@ def relation_tile_closure(
             F.col("e.member_rel").alias("rel_id"),
             F.col("c.tile_id").alias("tile_id"),
         )
-        new = closure.unionByName(up).unionByName(down).distinct()
-        # lazy checkpoint: the convergence count is the materializing action,
-        # so each round costs ONE job instead of two
-        new = new.localCheckpoint(eager=False)
-        n_new = new.count()
-        closure = new
-        if n_new == n_prev:
+        delta = (
+            up.unionByName(down)
+            .distinct()
+            .join(closure, ["rel_id", "tile_id"], "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        if delta.count() == 0:
             converged = True
             break
-        n_prev = n_new
+        closure = closure.unionByName(delta).localCheckpoint(eager=False)
+        frontier = delta
     if not converged:
         # each round propagates one nesting hop; stopping early would
         # silently drop tiles for deeply nested relations while the SQL

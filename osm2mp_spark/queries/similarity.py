@@ -249,15 +249,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"named_struct('band_no', {b}, 'band_val', CAST({e_} AS BIGINT))"
         for b, e_ in enumerate(_band_exprs("spark"))
     )
+    # the band frame carries only (vec_id, band_no, band_val) — vectors and
+    # norms rejoin after the pair-id distinct, so they never ride the
+    # candidate shuffle
     bd = norms.select(
         "vec_id",
-        "q",
-        "nrm",
         F.explode(F.expr(f"array({band_structs})")).alias("bv"),
-    ).select("vec_id", "q", "nrm", "bv.band_no", "bv.band_val")
+    ).select("vec_id", "bv.band_no", "bv.band_val")
     l = bd.alias("l")
     r = bd.alias("r")
-    pairs = (
+    # distinct the candidate IDs first: a pair colliding in k of the B bands
+    # would otherwise pay the O(dim) exact-dot verification k times (measured
+    # 550k collisions → ~140k unique pairs on this corpus). The vector table
+    # is dimension-scale, so the q/nrm lookback is a broadcast join.
+    cand = (
         l.join(
             r,
             (F.col("l.band_no") == F.col("r.band_no"))
@@ -267,13 +272,29 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("l.vec_id").alias("vec_a"),
             F.col("r.vec_id").alias("vec_b"),
-            F.expr(
-                "aggregate(zip_with(l.q, r.q, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"
-            ).alias("dot"),
-            F.col("l.nrm").alias("na"),
-            F.col("r.nrm").alias("nb"),
         )
-        .distinct()  # a pair can collide in several bands
+        .distinct()
+    )
+    na = norms.select(
+        F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"),
+        F.col("nrm").alias("na"),
+    )
+    nb = norms.select(
+        F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        cand.join(F.broadcast(na), "vec_a")
+        .join(F.broadcast(nb), "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.expr(
+                "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"
+            ).alias("dot"),
+            "na",
+            "nb",
+        )
     )
     cos = F.col("dot").cast("double") / (
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
