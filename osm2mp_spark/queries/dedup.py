@@ -114,34 +114,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w2").isNotNull())
         .select("doc_id", F.concat_ws(" ", "w", "w1", "w2").alias("shingle"))
     )
-    seeds = d.sparkSession.range(_N_HASH).select(F.col("id").cast("int").alias("seed"))
-    sig = (
-        sh.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(
+    # one groupBy(doc_id) carrying all _N_HASH signature MINs as separate
+    # map-side-combined aggregates — the r2 shape crossJoined every shingle
+    # with the seed table (N_HASH× row amplification) and shuffled a
+    # per-(doc, seed) groupBy, then needed a SECOND groupBy with a sorted
+    # collect_list to assemble deterministic band keys
+    sig = sh.groupBy("doc_id").agg(
+        *[
             F.min(
                 F.md5(
                     F.concat(
-                        F.col("seed").cast("string"), F.lit("|"), F.col("shingle")
+                        F.lit(str(s)), F.lit("|"), F.col("shingle")
                     ).cast("binary")
                 )
-            ).alias("mh")
-        )
+            ).alias(f"mh{s}")
+            for s in range(_N_HASH)
+        ]
     )
-    # collect_list order is nondeterministic — build the band key from the
-    # sorted (seed, mh) array so it is deterministic at any parallelism
-    bands = (
-        sig.withColumn("band_no", F.expr("CAST(seed DIV 2 AS INT)"))
-        .groupBy("doc_id", "band_no")
-        .agg(F.sort_array(F.collect_list(F.struct("seed", "mh"))).alias("sm"))
-        .select(
-            "doc_id",
-            "band_no",
-            F.md5(
-                F.array_join(F.transform("sm", lambda s: s["mh"]), "|").cast("binary")
-            ).alias("band_key"),
-        )
+    band_structs = ", ".join(
+        f"named_struct('band_no', {b}, 'band_key', "
+        f"md5(cast(concat(mh{2 * b}, '|', mh{2 * b + 1}) AS binary)))"
+        for b in range(_BANDS)
     )
+    bands = sig.select(
+        "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bv")
+    ).select("doc_id", "bv.band_no", "bv.band_key")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
