@@ -310,47 +310,72 @@ def fix_close_nodes_walk(
 
     Output: (chain_col, seq_col, lon, lat) — FINAL positions of every vertex.
     """
-    from .grouped import grouped_map_in_pandas
+    from .grouped import batched_map_in_pandas
 
     ldist = float(fix_dist)
     schema = f"{chain_col} bigint, {seq_col} bigint, {lon} double, {lat} double"
 
-    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
-        import math
+    def walk_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Step-synchronous vectorization ACROSS chains: pairs at the same
+        in-chain position s belong to different chains and are independent,
+        so step s fixes every chain's pair s in one numpy pass (≤ max chain
+        length passes per batch — no per-group pandas slicing). Elementwise
+        expressions are identical to the scalar walk, so output doubles are
+        bit-equal (oracle-gated)."""
+        import numpy as np
 
         lons = pdf[lon].to_numpy().copy()
         lats = pdf[lat].to_numpy().copy()
-        for i in range(len(lons) - 1):
-            dlon = lons[i + 1] - lons[i]
-            dlat = lats[i + 1] - lats[i]
-            if dlon == 0.0 and dlat == 0.0:
+        chains = pdf[chain_col].to_numpy()
+        n = len(lons)
+        if n == 0:
+            return pdf
+        same = chains[1:] == chains[:-1]  # pair (i, i+1) stays in one chain
+        idx = np.arange(n)
+        starts = np.r_[True, ~same]
+        pos = idx - np.maximum.accumulate(np.where(starts, idx, 0))
+        max_pos = int(pos[:-1].max()) if n > 1 else -1
+        for s in range(max_pos + 1):
+            m = (pos[:-1] == s) & same
+            j = np.nonzero(m)[0]
+            if not len(j):
+                break
+            dlon = lons[j + 1] - lons[j]
+            dlat = lats[j + 1] - lats[j]
+            close = (dlat * dlat + dlon * dlon < ldist * ldist) & ~(
+                (dlon == 0.0) & (dlat == 0.0)
+            )
+            if not close.any():
                 continue
-            if dlat * dlat + dlon * dlon < ldist * ldist:
-                clon = (lons[i] + lons[i + 1]) / 2.0
-                clat = (lats[i] + lats[i + 1]) / 2.0
-                if dlon == 0.0:
-                    sgn = 1.0 if dlat == 0.0 else (1.0 if dlat > 0.0 else -1.0)
-                    lons[i] = clon
-                    lats[i] = clat - ldist / 2.0 * sgn
-                    lons[i + 1] = clon
-                    lats[i + 1] = clat + ldist / 2.0 * sgn
-                else:
-                    azim = dlat / dlon
-                    ndlon = math.sqrt(ldist * ldist / (1.0 + azim * azim)) / 2.0
-                    ndlat = ndlon * abs(azim)
-                    slon = 1.0 if dlon > 0.0 else -1.0
-                    slat = 0.0 if dlat == 0.0 else (1.0 if dlat > 0.0 else -1.0)
-                    lons[i] = clon - ndlon * slon
-                    lats[i] = clat - ndlat * slat
-                    lons[i + 1] = clon + ndlon * slon
-                    lats[i + 1] = clat + ndlat * slat
+            j = j[close]
+            dlon = dlon[close]
+            dlat = dlat[close]
+            clon = (lons[j] + lons[j + 1]) / 2.0
+            clat = (lats[j] + lats[j + 1]) / 2.0
+            vert = dlon == 0.0
+            azim = dlat / np.where(vert, 1.0, dlon)
+            ndlon = np.sqrt(ldist * ldist / (1.0 + azim * azim)) / 2.0
+            ndlat = ndlon * np.abs(azim)
+            slon = np.where(dlon > 0.0, 1.0, -1.0)
+            slat = np.where(dlat == 0.0, 0.0, np.where(dlat > 0.0, 1.0, -1.0))
+            sgn0 = np.where(dlat >= 0.0, 1.0, -1.0)  # dlat==0 → 1 (Perl rule)
+            lons[j] = np.where(vert, clon, clon - ndlon * slon)
+            lats[j] = np.where(
+                vert, clat - ldist / 2.0 * sgn0, clat - ndlat * slat
+            )
+            lons[j + 1] = np.where(vert, clon, clon + ndlon * slon)
+            lats[j + 1] = np.where(
+                vert, clat + ldist / 2.0 * sgn0, clat + ndlat * slat
+            )
         return pd.DataFrame(
             {
-                chain_col: pdf[chain_col].to_numpy(),
+                chain_col: chains,
                 seq_col: pdf[seq_col].to_numpy(),
                 lon: lons,
                 lat: lats,
             }
         )
 
-    return grouped_map_in_pandas(pts, chain_col, walk, schema=schema, order=seq_col)
+    return batched_map_in_pandas(
+        pts, chain_col, walk_batch, schema=schema, order=seq_col
+    )

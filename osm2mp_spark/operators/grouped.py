@@ -20,15 +20,18 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 
-def grouped_map_in_pandas(
+def batched_map_in_pandas(
     df: DataFrame,
     key: str,
-    fn,
+    batch_fn,
     schema: str,
     order: str | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Run `fn(group_pdf) -> pdf` once per group, batched per partition."""
+    """Run `batch_fn(pdf) -> pdf` on batches of COMPLETE groups (sorted by
+    key, then `order`; no group straddles a call). For kernels vectorized
+    ACROSS groups — e.g. step-synchronous chain walks — where even one
+    pandas slice per group would dominate."""
     from ..shipping import ensure_shipped
 
     ensure_shipped(df.sparkSession)
@@ -51,11 +54,34 @@ def grouped_map_in_pandas(
             complete = pdf[pdf[key] != last_key]
             carry = pdf[pdf[key] == last_key]
             if len(complete):
-                yield from _apply_groups(complete, key, fn)
+                out = batch_fn(complete)
+                if out is not None and len(out):
+                    yield out
         if carry is not None and len(carry):
-            yield from _apply_groups(carry, key, fn)
+            out = batch_fn(carry)
+            if out is not None and len(out):
+                yield out
 
     return arranged.mapInPandas(run, schema=schema)
+
+
+def grouped_map_in_pandas(
+    df: DataFrame,
+    key: str,
+    fn,
+    schema: str,
+    order: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Run `fn(group_pdf) -> pdf` once per group, batched per partition."""
+
+    def batch_fn(pdf: pd.DataFrame):
+        outs = list(_apply_groups(pdf, key, fn))
+        return pd.concat(outs, ignore_index=True) if outs else None
+
+    return batched_map_in_pandas(
+        df, key, batch_fn, schema, order=order, num_partitions=num_partitions
+    )
 
 
 def _apply_groups(pdf: pd.DataFrame, key: str, fn):
