@@ -222,47 +222,13 @@ def merge_roads(
     # break-at-min rule). Each round: take the min of own label and both
     # neighbors' labels, then jump through the label (pointer doubling) —
     # O(log chain-length) rounds.
-    und = func.unionByName(
-        func.select(F.col("succ").alias("pred"), F.col("pred").alias("succ"))
-    )
     # propagate labels only over roads that PARTICIPATE in a merge (2·|func|
     # rows) — every other road is a singleton component whose head is itself
     # and needs no iteration. At sf0.1 this shrinks the per-round shuffles
     # from 150k rows × rounds to ~1k rows × rounds.
-    participants = (
-        func.select(F.col("pred").alias("road_id"))
-        .unionByName(func.select(F.col("succ").alias("road_id")))
-        .distinct()
-    )
-    labels = participants.withColumn("label", F.col("road_id"))
-    prev_sum = None
-    for _ in range(max_rounds):
-        nb = (
-            labels.join(und, labels.road_id == und.pred, "inner")
-            .select(F.col("succ").alias("road_id"), F.col("label"))
-        )
-        merged = (
-            labels.unionByName(nb)
-            .groupBy("road_id")
-            .agg(F.min("label").alias("label"))
-        )
-        l2 = merged.select(
-            F.col("road_id").alias("j_road"), F.col("label").alias("j_label")
-        )
-        new = merged.join(
-            l2, merged.label == l2.j_road, "left"
-        ).select("road_id", F.least("label", "j_label").alias("label"))
-        # lazy checkpoint: the convergence agg below is the action that
-        # materializes it, so each round costs ONE job, not two
-        new = new.localCheckpoint(eager=False)
-        # labels only ever DECREASE (min-propagation), so their total is a
-        # strictly monotone convergence witness: one cheap agg on the
-        # checkpointed frame instead of a self-join count per round
-        s = new.agg(F.sum("label").alias("s")).first()["s"]
-        labels = new
-        if prev_sum is not None and s == prev_sum:
-            break
-        prev_sum = s
+    labels = min_label_components(
+        func, src="pred", dst="succ", max_rounds=max_rounds
+    ).withColumnRenamed("vertex", "road_id")
     # head per component: the unique no-predecessor road (path start) when
     # one exists, else the component's min label (cycle break point)
     starts = (
@@ -379,3 +345,58 @@ def fix_close_nodes_walk(
     return batched_map_in_pandas(
         pts, chain_col, walk_batch, schema=schema, order=seq_col
     )
+
+
+def min_label_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Connected components by min-vertex-id label propagation with pointer
+    doubling over the undirected graph — (vertex, label) for every vertex
+    appearing in `edges` (callers union singletons back themselves; at scale
+    the participant set is typically a small fraction of the vertex table).
+
+    Each round: take the min of own and neighbors' labels, then jump through
+    the label (doubling) — O(log component-diameter) rounds, one job per
+    round (lazy checkpoint materialized by the monotone sum-of-labels
+    convergence witness)."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("a").alias("vertex")).distinct()
+        .withColumn("label", F.col("vertex"))
+    )
+    prev_sum = None
+    for _ in range(max_rounds):
+        nb = (
+            labels.join(und, labels.vertex == und.a, "inner")
+            .select(F.col("b").alias("vertex"), F.col("label"))
+        )
+        merged = (
+            labels.unionByName(nb)
+            .groupBy("vertex")
+            .agg(F.min("label").alias("label"))
+        )
+        l2 = merged.select(
+            F.col("vertex").alias("j_v"), F.col("label").alias("j_label")
+        )
+        new = merged.join(
+            l2, merged.label == l2.j_v, "left"
+        ).select("vertex", F.least("label", "j_label").alias("label"))
+        # lazy checkpoint: the convergence agg below is the action that
+        # materializes it, so each round costs ONE job, not two
+        new = new.localCheckpoint(eager=False)
+        # labels only ever DECREASE (min-propagation), so their total is a
+        # strictly monotone convergence witness: one cheap agg on the
+        # checkpointed frame instead of a self-join count per round
+        s = new.agg(F.sum("label").alias("s")).first()["s"]
+        labels = new
+        if prev_sum is not None and s == prev_sum:
+            break
+        prev_sum = s
+    return labels

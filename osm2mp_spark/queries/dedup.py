@@ -456,3 +456,73 @@ def simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter("hamming <= 6")
     )
+
+
+# ---------------------------------------------------------------------------
+# Terminal dedup step: near-dup PAIRS → document CLUSTERS (the decision a
+# training-data pipeline actually acts on: one keeper per cluster).
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+seeds AS (SELECT UNNEST(generate_series(0, {_N_HASH - 1})) AS seed),
+sig AS (
+  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+  FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+bands AS (
+  SELECT doc_id, CAST(seed // 2 AS INT) AS band_no,
+         md5(STRING_AGG(mh, '|' ORDER BY seed)) AS band_key
+  FROM sig GROUP BY doc_id, seed // 2),
+pairs AS (
+  SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a,
+                  CAST(b.doc_id AS BIGINT) AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_no = b.band_no AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id),
+und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+comp(doc_id, lab) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM und)
+  UNION
+  SELECT u.b, c.lab FROM comp c JOIN und u ON u.a = c.doc_id),
+lbl AS (SELECT doc_id, MIN(lab) AS cluster_id FROM comp GROUP BY doc_id),
+allv AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         COALESCE(l.cluster_id, CAST(d.doc_id AS BIGINT)) AS cluster_id
+  FROM documents d LEFT JOIN lbl l ON CAST(d.doc_id AS BIGINT) = l.doc_id),
+sizes AS (SELECT cluster_id, COUNT(*) AS n FROM allv GROUP BY cluster_id)
+SELECT a.doc_id, a.cluster_id, CAST(s.n AS BIGINT) AS cluster_size,
+       (a.doc_id = a.cluster_id) AS keep
+FROM allv a JOIN sizes s ON a.cluster_id = s.cluster_id
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair table → document clusters via min-label connected
+    components (operators.chains.min_label_components — the same pointer-
+    doubling engine road merging uses), keeper = the cluster's min doc_id.
+    This is the dedup family's terminal step: the per-document keep/drop
+    decision a 100 TB training-data pipeline enforces. Scale shape: the
+    component iteration runs only over documents that appear in a pair
+    (typically a small fraction of the corpus); singletons bypass with
+    cluster_id = doc_id. Oracle: recursive-CTE min-label closure over the
+    same banded-LSH pair set."""
+    from ..operators.chains import min_label_components
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    labels = min_label_components(pairs, src="doc_a", dst="doc_b")
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("bigint").alias("doc_id"))
+    allv = (
+        docs.join(labels.withColumnRenamed("vertex", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
+        )
+    )
+    sizes = allv.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return allv.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        F.col("cluster_size").cast("bigint"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )
