@@ -112,3 +112,49 @@ class TestPlanShapes:
         assert "Exchange" not in p
         assert "Join" not in p
         assert p.count("ArrowEvalPython") == 1
+
+
+class TestRound3PlanShapes:
+    """Pin the round-3 rewrites: a regression back to the amplified shapes
+    changes these plans visibly."""
+
+    def test_simhash_votes_one_aggregate_no_explode(self, spark, sf_dir):
+        """dedup_simhash: per-token digit columns + ONE groupBy of 32
+        map-side-combined sums — no hexpos/k crossJoin row explosion."""
+        import __spark_entry__ as E
+
+        p = plan_of(E.queries()["dedup_simhash"](spark, sf_dir))
+        assert "partial_sum" in p             # map-side combine present
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        # exactly one explode (the token split), not hexpos x k
+        assert p.count("Generate") <= 1
+
+    def test_minhash_single_groupby_no_seed_crossjoin(self, spark, sf_dir):
+        """dedup_minhash_lsh: N_HASH min aggregates in one groupBy; the only
+        joins are the band-bucket equi-join (no seed-table crossJoin)."""
+        import __spark_entry__ as E
+
+        p = plan_of(E.queries()["dedup_minhash_lsh"](spark, sf_dir))
+        assert "partial_min" in p
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+    def test_embedding_dedup_distinct_before_dot(self, spark, sf_dir):
+        """dedup_embedding_cosine: the exact-dot verification happens after
+        the pair-id distinct via BROADCAST lookback joins of the vector
+        table — never per band collision."""
+        import __spark_entry__ as E
+
+        p = plan_of(E.queries()["dedup_embedding_cosine"](spark, sf_dir))
+        assert p.count("BroadcastHashJoin") >= 2  # qa/na and qb/nb lookbacks
+        assert "CartesianProduct" not in p
+
+    def test_image_spatial_join_single_lineage(self, spark, sf_dir):
+        """One generation pass, zero joins: features carry lon/lat through,
+        PIP runs on the feature rows."""
+        import __spark_entry__ as E
+
+        p = plan_of(E.queries()["image_spatial_join"](spark, sf_dir))
+        assert "Join" not in p
+        assert p.count("MapInPandas") == 2  # generate, then decode+features
