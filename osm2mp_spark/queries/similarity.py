@@ -426,3 +426,53 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("bigint").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Recall measurement: the quality gate every ANN deployment needs — how much
+# of the exact top-k does the IVF path return? Oracle composes the two
+# registered oracles verbatim (nested CTEs), so the measurement itself is
+# cross-engine-verified, not just the two inputs.
+# ---------------------------------------------------------------------------
+
+from . import ORACLES as _ORACLES  # noqa: E402  (registered above)
+
+
+@register(
+    "ann_recall",
+    oracle=f"""
+WITH exact_r AS ({_ORACLES['ann_cosine_topk']}),
+ivf_r AS ({_ORACLES['ann_ivf_topk']}),
+hits AS (
+  SELECT e.query_id, COUNT(i.neighbor_id) AS n_hits
+  FROM exact_r e LEFT JOIN ivf_r i
+    ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+  GROUP BY e.query_id)
+SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_hits AS DOUBLE) / {_TOP_K} AS recall_at_k
+FROM hits
+""",
+)
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@{_TOP_K} of IVF (probed coarse-quantizer search)
+    against the exact brute-force baseline — the accuracy/throughput
+    trade-off number an ANN deployment tunes n_probe by."""
+    ex = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    iv = ann_ivf_topk(spark, sf_dir).select(
+        F.col("query_id").alias("i_qid"), F.col("neighbor_id").alias("i_nid")
+    )
+    hits = (
+        ex.join(
+            iv,
+            (F.col("query_id") == F.col("i_qid"))
+            & (F.col("neighbor_id") == F.col("i_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("i_nid").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        (F.col("n_hits").cast("double") / _TOP_K).alias("recall_at_k"),
+    )
