@@ -342,3 +342,62 @@ class TestTransformWithState:
         assert len(got) == len(batch)
         for col in ("user_id", "session_no", "n_events", "start_us", "end_us"):
             assert (got[col].to_numpy() == batch[col].to_numpy()).all(), col
+
+
+class TestWatermarkLateData:
+    def test_late_rows_dropped_in_append_mode(self, spark, tmp_path):
+        """The watermark actually DROPS late rows: a row older than
+        (max event time - 10 min) arriving in a later micro-batch must not
+        change its (already-finalized) window. Append mode emits a window
+        only once the watermark passes its end, so a wrongly-admitted late
+        row would show up as n=3 instead of n=2."""
+        import pandas as pd
+
+        from osm2mp_spark.streaming.windows import windowed_counts_stream
+
+        events_dir = tmp_path / "events"
+        events_dir.mkdir()
+
+        def write_batch(name, rows):
+            pdf = pd.DataFrame(rows, columns=["ts", "event_type", "value"])
+            pdf["ts"] = pd.to_datetime(pdf["ts"])
+            spark.createDataFrame(pdf).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(events_dir))
+
+        # batch 1: two rows in window [10:00, 10:05) + a row at 10:20 that
+        # advances the watermark to 10:10 (> window end) after this batch
+        write_batch("a", [
+            ("2026-01-01 10:00:30", "click", 1),
+            ("2026-01-01 10:01:00", "click", 2),
+            ("2026-01-01 10:20:00", "click", 4),
+        ])
+        schema = spark.read.parquet(str(events_dir)).schema
+        stream = windowed_counts_stream(spark, str(events_dir), schema)
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("late_demo")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # batch 2: a LATE row for the closed window (10:02 < watermark
+            # 10:10) plus an on-time row keeping the stream alive
+            write_batch("b", [
+                ("2026-01-01 10:02:00", "click", 8),
+                ("2026-01-01 10:21:00", "click", 16),
+            ])
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = spark.sql(
+            "SELECT * FROM late_demo ORDER BY window_start_us"
+        ).toPandas()
+        # the 10:00 window was emitted with exactly the two on-time rows;
+        # the late value-8 row is dropped (n=2, total 3 — not n=3/total 11)
+        w1 = got[got.total_value <= 3]
+        assert len(w1) == 1
+        assert int(w1.n.iloc[0]) == 2 and int(w1.total_value.iloc[0]) == 3
+        assert not (got.total_value == 11).any()
