@@ -213,3 +213,110 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
                 )
 
     return df.select("video_id", "bytes").mapInPandas(kernel, schema=FRAME_SCHEMA)
+
+
+# --- perceptual-hash dedup ----------------------------------------------------
+
+DHASH_SCHEMA = "image_id string, dhash long"
+
+
+def hamming_band_layout(max_hamming: int, bits: int = 64) -> list[tuple[int, int]]:
+    """(offset, width) per band for the pigeonhole banding: `max_hamming + 1`
+    contiguous bands covering all bits. Any pair within Hamming distance
+    max_hamming differs in at most max_hamming bands, so at least one band
+    matches exactly — the band equi-join is LOSSLESS for the threshold
+    (the same argument as the simhash banding, queries/dedup.py)."""
+    nb = max_hamming + 1
+    widths = [bits // nb + (1 if i < bits % nb else 0) for i in range(nb)]
+    out, off = [], 0
+    for wd in widths:
+        out.append((off, wd))
+        off += wd
+    return out
+
+
+def dhash_images(df: DataFrame) -> DataFrame:
+    """Pooled 64-bit difference hash over decoded pixels — the real
+    perceptual hash behind the input_hint's `phash` column (the fact-table
+    generator's sha-based stand-in has no near-dup structure).
+
+    Exact integer arithmetic end-to-end so the hash is bit-stable at any
+    parallelism: per-block gray SUMS via a 2-D prefix sum, adjacent-column
+    comparison by cross-multiplication (blocks differ in pixel count when
+    w % 9 or h % 8 != 0 — comparing raw sums would bias toward wider
+    blocks; sum_r * cnt_l > sum_l * cnt_r is the exact mean comparison)."""
+
+    def kernel(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                px = decode(bytes(r.bytes), r.fmt)
+                gray = px.astype(np.int64).sum(axis=2)  # r+g+b, exact
+                h, w = gray.shape
+                yb = (np.arange(9) * h) // 8
+                xb = (np.arange(10) * w) // 9
+                pref = np.zeros((h + 1, w + 1), dtype=np.int64)
+                np.cumsum(np.cumsum(gray, axis=0), axis=1, out=pref[1:, 1:])
+                s = (
+                    pref[yb[1:, None], xb[None, 1:]]
+                    - pref[yb[:-1, None], xb[None, 1:]]
+                    - pref[yb[1:, None], xb[None, :-1]]
+                    + pref[yb[:-1, None], xb[None, :-1]]
+                )
+                cnt = (yb[1:] - yb[:-1])[:, None] * (xb[1:] - xb[:-1])[None, :]
+                bits = (s[:, 1:] * cnt[:, :-1] > s[:, :-1] * cnt[:, 1:]).flatten()
+                dh = 0
+                for b in bits:
+                    dh = (dh << 1) | int(b)
+                dh -= (dh & (1 << 63)) << 1  # two's-complement int64
+                rows.append((r.image_id, dh))
+            yield pd.DataFrame(rows, columns=["image_id", "dhash"])
+
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    return df.select("image_id", "bytes", "fmt").mapInPandas(
+        kernel, schema=DHASH_SCHEMA
+    )
+
+
+def phash_hamming_pairs(sigs: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate image pairs by banded Hamming equi-join over 64-bit
+    perceptual hashes: explode each signature into max_hamming+1 (band, key)
+    rows, equi-join on (band, key) — never a cartesian — then exact
+    popcount filter. The banding is lossless for the threshold
+    (hamming_band_layout), so output EQUALS the all-pairs join the DuckDB
+    oracle runs. At 10^12 rows the per-band bucket population is the knob:
+    ~9-bit bands suit the demo corpus; widen bands (lower threshold) or
+    pre-shard by a leading prefix for denser corpora."""
+    from pyspark.sql import functions as F
+
+    bands = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned("dhash", off)
+            .bitwiseAND(F.lit((1 << wd) - 1))
+            .alias("key"),
+        )
+        for i, (off, wd) in enumerate(hamming_band_layout(max_hamming))
+    ]
+    e = sigs.select(
+        "image_id", "dhash", F.explode(F.array(*bands)).alias("b")
+    ).select("image_id", "dhash", "b.band", "b.key")
+    left = e.select(
+        F.col("image_id").alias("id_a"), F.col("dhash").alias("ha"),
+        "band", "key",
+    )
+    right = e.select(
+        F.col("image_id").alias("id_b"), F.col("dhash").alias("hb"),
+        "band", "key",
+    )
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()  # a close pair collides in several bands — emit once
+        .withColumn("hamming", F.expr("CAST(bit_count(ha ^ hb) AS INT)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .drop("ha", "hb")
+    )

@@ -24,21 +24,27 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-def golden_oracle(name: str) -> str | None:
-    """Oracle SQL for a non-SQL-expressible query: read the committed golden
-    parquet (generated by tools/make_golden.py at sf0.01, independently
-    validated by the pytest fixtures listed in FIXTURES.md §golden). Returns
-    None when the artifact is absent (fresh checkout before generation, or
-    package imported from a --py-files zip) — the gate then records the
-    rows-only check it always did. NB: goldens pin sf0.01 — the scale the
-    driver's oracle side runs at."""
+def golden_path(name: str) -> str | None:
+    """Path of a committed golden parquet artifact (tools/make_golden.py at
+    sf0.01), or None when absent (fresh checkout before generation, or
+    package imported from a --py-files zip)."""
     import os
 
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         "tests", "golden", f"{name}.parquet",
     )
-    if not os.path.isfile(path):
+    return path if os.path.isfile(path) else None
+
+
+def golden_oracle(name: str) -> str | None:
+    """Oracle SQL for a non-SQL-expressible query: read the committed golden
+    parquet (independently validated by the pytest fixtures listed in
+    FIXTURES.md §golden). Returns None when the artifact is absent — the
+    gate then records the rows-only check it always did. NB: goldens pin
+    sf0.01 — the scale the driver's oracle side runs at."""
+    path = golden_path(name)
+    if path is None:
         return None
     return f"SELECT * FROM read_parquet('{path}')  -- GOLDEN sf0.01"
 

@@ -143,3 +143,52 @@ def audio_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     clips = generate_audio_df(spark, max(20, _n_for(spark, sf_dir) // 10))
     return spectrogram_features(clips)
+
+
+def _dhash_pairs_oracle(max_hamming: int = 6) -> str | None:
+    """Independent-computation oracle for the banded Hamming join: DuckDB
+    runs the ALL-PAIRS join over the committed golden signature table
+    (`image_dhash.parquet` — itself a gated query output, so signature
+    drift surfaces there). A match proves the pigeonhole banding is
+    lossless for the threshold — the two engines compute the pair set by
+    entirely different plans."""
+    from . import golden_path
+
+    path = golden_path("image_dhash")
+    if path is None:
+        return None
+    return f"""
+SELECT a.image_id AS id_a, b.image_id AS id_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+FROM read_parquet('{path}') a
+JOIN read_parquet('{path}') b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= {max_hamming}
+-- GOLDEN sf0.01
+"""
+
+
+@register("image_dhash", oracle=golden_oracle("image_dhash"))
+def image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual 64-bit pooled difference hash over the dedup corpus
+    (originals + cross-codec near-duplicates): decode → exact-integer
+    block-mean comparisons, one mapInPandas pass, bytes never shuffle."""
+    from ..operators.images import dhash_images
+    from ..sources.images import generate_phash_corpus_df
+
+    corpus = generate_phash_corpus_df(spark, _n_for(spark, sf_dir))
+    return dhash_images(corpus)
+
+
+@register("image_dedup_phash", oracle=_dhash_pairs_oracle())
+def image_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image detection: dHash signatures → pigeonhole-banded
+    Hamming equi-join (lossless for distance ≤ 6, no cartesian — the
+    image-payload twin of the simhash text dedup). Finds every cross-codec
+    near-dup pair the corpus plants while unrelated images (~32 bits apart)
+    never reach the popcount filter."""
+    from ..operators.images import dhash_images, phash_hamming_pairs
+    from ..sources.images import generate_phash_corpus_df
+
+    corpus = generate_phash_corpus_df(spark, _n_for(spark, sf_dir))
+    sigs = dhash_images(corpus)
+    return phash_hamming_pairs(sigs, max_hamming=6)

@@ -304,3 +304,83 @@ def generate_videos_df(spark, n: int, frames_per_video: int = 24,
             )
 
     return base.mapInPandas(gen, schema=VIDEOS_SCHEMA)
+
+
+# --- perceptual-hash dedup corpus ---------------------------------------------
+# The gradient images above all share one global gradient, so their pooled
+# difference-hashes would collide (realistic for near-identical photos, wrong
+# for a dedup FIXTURE, which needs a discriminative corpus). The dedup corpus
+# instead uses per-image block patterns: an 8x9 cell grid of two gray levels
+# drawn from the image_id's XOF stream, upscaled to full resolution, plus the
+# usual seeded noise. Pooled dHash bits then track the (random per image)
+# pattern -> unrelated images sit ~32 bits apart, while a near-duplicate
+# (same pattern+noise, sparse +3 pixel perturbation, re-encoded in a
+# DIFFERENT codec) stays within a few bits.
+
+PHASH_CELLS = (8, 9)  # rows x cols — matches the dHash pooling grid
+
+
+def pattern_pixels_for(image_id: str, w: int, h: int) -> np.ndarray:
+    """(h, w, 3) uint8: per-image random 8x9 two-level block pattern + noise.
+    Levels 20/180 keep every value in [20, 243.75] — no clipping, so the
+    sparse +3 near-dup perturbation can never wrap."""
+    rows_c, cols_c = PHASH_CELLS
+    bits = _rng_ints(image_id + ":pat", rows_c * cols_c) & 1
+    grid = np.where(bits.reshape(rows_c, cols_c) == 1, 180.0, 20.0)
+    cy = (np.arange(h) * rows_c) // h
+    cx = (np.arange(w) * cols_c) // w
+    base = grid[np.ix_(cy, cx)][:, :, None]
+    noise = _rng_ints(image_id + ":px", w * h * 3).reshape(h, w, 3)
+    return (base + noise.astype(np.float64) * 0.25).astype(np.uint8)
+
+
+def phash_corpus_row(idx: int, dup: bool) -> dict:
+    """One corpus row. `dup=True` emits the near-duplicate of original `idx`:
+    identical pattern AND noise (both derive from the ORIGINAL id), a sparse
+    +3 perturbation on every 97th sample, and the NEXT codec in rotation —
+    so the pair crosses a lossless/lossy codec boundary whenever possible."""
+    base_id = f"pimg{idx:09d}"
+    w, h = W_CHOICES[idx % 3], H_CHOICES[idx % 3]
+    px = pattern_pixels_for(base_id, w, h)
+    if dup:
+        px = px.copy()
+        flat = px.reshape(-1)
+        flat[::97] += 3  # bounded: max 243 + 3 = 246, no uint8 wrap
+        image_id, fmt = base_id + "d", FMT_CHOICES[(idx + 1) % 3]
+    else:
+        image_id, fmt = base_id, FMT_CHOICES[idx % 3]
+    return {
+        "image_id": image_id,
+        "bytes": encode(px, fmt),
+        "w": w,
+        "h": h,
+        "fmt": fmt,
+    }
+
+
+PHASH_CORPUS_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string"
+
+
+def generate_phash_corpus_df(spark, n: int, dup_every: int = 7,
+                             partitions: int | None = None):
+    """Distributed deterministic dedup corpus: n originals plus a
+    near-duplicate of every `dup_every`-th one (executor-side synthesis,
+    same 10^12-scale shape as generate_images_df)."""
+    import pandas as pd
+
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    rng = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                idx = int(i)
+                rows.append(phash_corpus_row(idx, dup=False))
+                if idx % dup_every == 0:
+                    rows.append(phash_corpus_row(idx, dup=True))
+            yield pd.DataFrame(rows)
+
+    return rng.mapInPandas(gen, schema=PHASH_CORPUS_SCHEMA)

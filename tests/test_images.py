@@ -270,3 +270,97 @@ class TestAudioSpectrogram:
         out = spectrogram_features(df).toPandas()
         # 1 + (1000 - 256) // 128 = 6 frames
         assert int(out.n_frames.iloc[0]) == 6
+
+
+class TestPhashDedup:
+    """Perceptual-hash near-dup detection (image_dhash / image_dedup_phash)."""
+
+    def test_band_layout_covers_all_bits(self):
+        from osm2mp_spark.operators.images import hamming_band_layout
+
+        for k in (2, 6, 10):
+            layout = hamming_band_layout(k)
+            assert len(layout) == k + 1
+            assert sum(w for _, w in layout) == 64
+            # contiguous, non-overlapping
+            off = 0
+            for o, w in layout:
+                assert o == off
+                off += w
+
+    def test_pigeonhole_lossless_for_threshold(self):
+        """Any pair within Hamming <= k must share at least one band key —
+        the property that makes the banded equi-join equal the all-pairs
+        join. Fuzzed over random signatures and random <=k bit flips."""
+        from osm2mp_spark.operators.images import hamming_band_layout
+
+        k = 6
+        layout = hamming_band_layout(k)
+        rng = np.random.default_rng(42)
+
+        def keys(sig):
+            return [(sig >> o) & ((1 << w) - 1) for o, w in layout]
+
+        for _ in range(500):
+            a = int(rng.integers(0, 2**64, dtype=np.uint64))
+            flips = rng.choice(64, size=int(rng.integers(0, k + 1)),
+                               replace=False)
+            b = a
+            for f in flips:
+                b ^= 1 << int(f)
+            assert any(ka == kb for ka, kb in zip(keys(a), keys(b)))
+
+    def test_corpus_neardup_separation(self):
+        """Planted near-dups sit within the threshold; unrelated pattern
+        images sit far outside it (pure-python twin of the Spark kernel
+        via single-row corpus entries)."""
+        from osm2mp_spark.sources.images import phash_corpus_row
+
+        def dhash(row):
+            px = decode(bytes(row["bytes"]), row["fmt"])
+            gray = px.astype(np.int64).sum(axis=2)
+            h, w = gray.shape
+            yb = (np.arange(9) * h) // 8
+            xb = (np.arange(10) * w) // 9
+            pref = np.zeros((h + 1, w + 1), dtype=np.int64)
+            pref[1:, 1:] = gray.cumsum(0).cumsum(1)
+            s = (pref[yb[1:, None], xb[None, 1:]]
+                 - pref[yb[:-1, None], xb[None, 1:]]
+                 - pref[yb[1:, None], xb[None, :-1]]
+                 + pref[yb[:-1, None], xb[None, :-1]])
+            cnt = (yb[1:] - yb[:-1])[:, None] * (xb[1:] - xb[:-1])[None, :]
+            bits = (s[:, 1:] * cnt[:, :-1] > s[:, :-1] * cnt[:, 1:]).flatten()
+            v = 0
+            for b in bits:
+                v = (v << 1) | int(b)
+            return v
+
+        sigs = {}
+        for i in range(0, 21, 7):
+            a = dhash(phash_corpus_row(i, dup=False))
+            b = dhash(phash_corpus_row(i, dup=True))
+            assert bin(a ^ b).count("1") <= 6, f"dup {i} too far"
+            sigs[i] = a
+        ids = list(sigs)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                d = bin(sigs[ids[i]] ^ sigs[ids[j]]).count("1")
+                assert d > 6, f"unrelated {ids[i]}/{ids[j]} collide at {d}"
+
+    def test_spark_pairs_exactly_planted(self, spark):
+        """End-to-end: the banded join returns exactly the planted
+        (original, originald) pairs, and the plan has no cartesian."""
+        from osm2mp_spark.operators.images import (
+            dhash_images,
+            phash_hamming_pairs,
+        )
+        from osm2mp_spark.sources.images import generate_phash_corpus_df
+
+        corpus = generate_phash_corpus_df(spark, 35, dup_every=7)
+        pairs_df = phash_hamming_pairs(dhash_images(corpus), max_hamming=6)
+        plan = pairs_df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        got = pairs_df.toPandas().sort_values("id_a").reset_index(drop=True)
+        assert list(got.id_a) == [f"pimg{i:09d}" for i in range(0, 35, 7)]
+        assert (got.id_b == got.id_a + "d").all()
+        assert (got.hamming <= 6).all()
