@@ -229,8 +229,9 @@ def relation_tile_closure(
     # not the accumulated closure (the naive loop re-distincted the whole
     # closure every round). One job per round (the delta count materializes
     # the lazy checkpoint).
+    # lazy checkpoints: base and edges materialize inside round 1's delta
+    # job (persist-backed, computed once per partition) — no seeding job
     closure = base.localCheckpoint(eager=False)
-    closure.count()
     frontier = closure
     edges = edges.localCheckpoint(eager=False)
     converged = False
