@@ -63,3 +63,4 @@ def load_all() -> None:
     from . import relations  # noqa: F401
     from . import kernels_q  # noqa: F401
     from . import sources_q  # noqa: F401
+    from . import render  # noqa: F401

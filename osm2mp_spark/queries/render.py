@@ -1,0 +1,137 @@
+"""Gate-backed MP (Polish-format) text rendering — S7 in the hard gate.
+
+The sink renderers in plans/sinks.py are Python-side formatting helpers
+held to golden-text pytest fixtures. These queries render the SAME sections
+entirely JVM-side (`format_string` / `concat_ws` / `transform` — whole-stage
+codegen, no Python in the hot path) with an exact DuckDB `printf` oracle, so
+the text-output surface gets rows+schema+hash gate coverage like every other
+operator. Cross-engine float formatting is safe here: `%.5f` ties are
+impossible for binary doubles (a tie needs a factor 5^6 denominator), and
+0/200k coordinate-grid values disagreed between Java's Formatter and C
+printf when measured. A pytest additionally pins each rendered string to
+the plans.sinks Python renderer, so the gate transitively covers the sink
+format too (reference: osm2mp.pl output templates, cfg/output-polish.yml).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.points import (
+    LINEITEM_SEQ_SQL as _SEQ,
+    LINEITEM_VKEY_SQL as _VKEY,
+    derived_lat_sql,
+    derived_lon_sql,
+    with_derived_position,
+)
+from . import register
+
+# Garmin city-POI type codes 0x100..0xb00 by size class (render_mp_points /
+# cfg/output-polish.yml POI template); the class derives from the key.
+_POI_TYPE = "CAST(256 + point_id % 11 * 256 AS INT)"
+
+_POI_FMT = "[POI]\nType=0x%x\nLabel=%s\nData0=(%.5f,%.5f)\n[END]\n"
+
+
+@register(
+    "mp_poi_render",
+    oracle=f"""
+WITH pts AS (
+  SELECT CAST(c_custkey AS BIGINT) AS point_id, c_name AS label,
+         {derived_lon_sql('c_custkey')} AS lon,
+         {derived_lat_sql('c_custkey')} AS lat
+  FROM customer)
+SELECT point_id,
+       printf('{_POI_FMT}', {_POI_TYPE}, label, lat, lon) AS mp
+FROM pts
+""",
+)
+def mp_poi_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 — [POI] sections (Type/Label/Data0) rendered per row in codegen;
+    identical section layout to plans.sinks.render_mp_points."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").cast("bigint").alias("point_id"),
+        F.col("c_name").alias("label"),
+    )
+    pts = with_derived_position(c, "point_id")
+    return pts.select(
+        "point_id",
+        F.format_string(
+            _POI_FMT, F.expr(_POI_TYPE), F.col("label"), F.col("lat"), F.col("lon")
+        ).alias("mp"),
+    )
+
+
+# [POLYLINE] rendering: chains assembled from the lineitem fact table (the
+# same ordered-chain shape as clip_chains), Data0 as the comma-joined
+# (lat,lon) run, then the _common_fields sequence EndLevel? -> Type -> Label.
+_PL_TYPE = "CAST(2 + chain_id % 6 AS INT)"
+_PL_ENDLEVEL = "CAST(chain_id % 4 AS INT)"
+
+
+@register(
+    "mp_polyline_render",
+    oracle=f"""
+WITH pts AS (
+  SELECT CAST(l_orderkey AS BIGINT) AS chain_id, {_SEQ} AS seq,
+         {derived_lon_sql(_VKEY)} AS lon, {derived_lat_sql(_VKEY)} AS lat
+  FROM lineitem),
+chains AS (
+  SELECT chain_id,
+         array_to_string(LIST(printf('(%.5f,%.5f)', lat, lon) ORDER BY seq),
+                         ',') AS data0
+  FROM pts GROUP BY chain_id)
+SELECT chain_id,
+       '[POLYLINE]' || chr(10) || 'Data0=' || data0 || chr(10)
+       || CASE WHEN {_PL_ENDLEVEL} > 0
+               THEN 'EndLevel=' || {_PL_ENDLEVEL} || chr(10) ELSE '' END
+       || printf('Type=0x%x', {_PL_TYPE}) || chr(10)
+       || printf('Label=chain %d', chain_id) || chr(10)
+       || '[END]' || chr(10) AS mp
+FROM chains
+""",
+)
+def mp_polyline_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 — routable-map [POLYLINE] sections: per-chain ordered Data0 run
+    (sort_array over (seq, rendered-point) structs — one shuffle, no window)
+    plus the EndLevel/Type/Label field sequence of plans.sinks
+    render_mp_polyline. All string assembly stays JVM-side; at 10^12 rows
+    the render is embarrassingly parallel and the only exchange is the
+    per-chain groupBy."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").cast("bigint").alias("chain_id"),
+        F.expr(_SEQ).alias("seq"),
+        F.expr(_VKEY).alias("__vkey"),
+    )
+    pts = with_derived_position(li, "__vkey")
+    chains = (
+        pts.select(
+            "chain_id",
+            F.struct(
+                F.col("seq"),
+                F.format_string("(%.5f,%.5f)", F.col("lat"), F.col("lon")).alias(
+                    "txt"
+                ),
+            ).alias("p"),
+        )
+        .groupBy("chain_id")
+        .agg(
+            F.expr("concat_ws(',', transform(sort_array(collect_list(p)), x -> x.txt))")
+            .alias("data0")
+        )
+    )
+    return chains.select(
+        "chain_id",
+        F.concat(
+            F.lit("[POLYLINE]\nData0="),
+            F.col("data0"),
+            F.lit("\n"),
+            F.expr(
+                f"CASE WHEN {_PL_ENDLEVEL} > 0 "
+                f"THEN concat('EndLevel=', {_PL_ENDLEVEL}, '\n') ELSE '' END"
+            ),
+            F.format_string("Type=0x%x\n", F.expr(_PL_TYPE)),
+            F.format_string("Label=chain %d\n", F.col("chain_id")),
+            F.lit("[END]\n"),
+        ).alias("mp"),
+    )

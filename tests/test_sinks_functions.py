@@ -439,3 +439,53 @@ contacts:
         assert "SignPoints=1,2,3" in txt and "SignRoads=7,8" in txt
         assert "SignParam=T,Centre" in txt
         assert txt.rstrip().endswith("[END-Sign]")
+
+
+class TestGateBackedRenderParity:
+    """The JVM-side renderer queries (queries/render.py) must produce the
+    exact strings plans.sinks' Python renderers produce for the same data —
+    the DuckDB gate then transitively covers the sink format."""
+
+    def test_poi_sections_match_python_renderer(self, spark):
+        import __spark_entry__ as E
+        from osm2mp_spark.plans.sinks import render_mp_points
+
+        got = (
+            E.queries()["mp_poi_render"](spark, "/root/testdata/sf0.001")
+            .orderBy("point_id").limit(5).toPandas()
+        )
+        pts = (
+            spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+            .selectExpr("CAST(c_custkey AS BIGINT) AS point_id", "c_name")
+        )
+        from osm2mp_spark.sources.points import with_derived_position
+
+        ref = with_derived_position(pts, "point_id").orderBy("point_id") \
+            .limit(5).toPandas()
+        for row, want in zip(got.itertuples(), ref.itertuples()):
+            code = 256 + int(want.point_id) % 11 * 256
+            assert row.mp == render_mp_points(
+                [(code, want.c_name, want.lon, want.lat)]
+            )
+
+    def test_polyline_sections_match_python_renderer(self, spark):
+        import __spark_entry__ as E
+        from osm2mp_spark.plans.sinks import render_mp_polyline
+        from osm2mp_spark.queries.spatial import lineitem_chain_points
+
+        got = (
+            E.queries()["mp_polyline_render"](spark, "/root/testdata/sf0.001")
+            .orderBy("chain_id").limit(4).toPandas()
+        )
+        pts = lineitem_chain_points(spark, "/root/testdata/sf0.001").toPandas()
+        for row in got.itertuples():
+            sub = pts[pts.chain_id == row.chain_id].sort_values("seq")
+            lvl_h = int(row.chain_id) % 4
+            data = {
+                "chain": list(zip(sub.lon, sub.lat)),
+                "type": f"0x{2 + int(row.chain_id) % 6:x}",
+                "name": f"chain {row.chain_id}",
+                "level_l": 0,
+                "level_h": lvl_h,
+            }
+            assert row.mp == render_mp_polyline(data)
