@@ -401,3 +401,66 @@ class TestWatermarkLateData:
         assert len(w1) == 1
         assert int(w1.n.iloc[0]) == 2 and int(w1.total_value.iloc[0]) == 3
         assert not (got.total_value == 11).any()
+
+
+class TestImageIngestStream:
+    def _write_corpus(self, spark, events_dir, lo, hi):
+        import pandas as pd
+
+        from osm2mp_spark.sources.images import phash_corpus_row
+
+        pdf = pd.DataFrame([phash_corpus_row(i, dup=False) for i in range(lo, hi)])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(
+            str(events_dir)
+        )
+
+    def test_incremental_exactly_once_across_restart(self, spark, tmp_path):
+        """Image files land incrementally; the streaming dHash path must
+        (a) process each file exactly once, (b) produce the SAME hashes as
+        the batch kernel, and (c) not reprocess batch-1 files after a stop
+        + restart from the checkpoint."""
+        from osm2mp_spark.operators.images import dhash_images
+        from osm2mp_spark.streaming.ingest import image_dhash_stream
+
+        imgs = tmp_path / "imgs"
+        imgs.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+        self._write_corpus(spark, imgs, 0, 6)
+        schema = spark.read.parquet(str(imgs)).schema
+
+        def start():
+            return (
+                image_dhash_stream(spark, str(imgs), schema)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+
+        q = start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got1 = spark.read.parquet(out).toPandas()
+        assert len(got1) == 6
+
+        # restart from checkpoint, land a second batch
+        self._write_corpus(spark, imgs, 6, 10)
+        q = start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got2 = spark.read.parquet(out).toPandas()
+        # exactly once: 10 rows total, no duplicated image_ids
+        assert len(got2) == 10
+        assert got2.image_id.nunique() == 10
+
+        # streaming output == batch kernel over the same files
+        batch = dhash_images(spark.read.parquet(str(imgs))).toPandas()
+        a = got2.sort_values("image_id").reset_index(drop=True)
+        b = batch.sort_values("image_id").reset_index(drop=True)
+        assert (a.image_id == b.image_id).all()
+        assert (a.dhash == b.dhash).all()
