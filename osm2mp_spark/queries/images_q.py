@@ -192,3 +192,53 @@ def image_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = generate_phash_corpus_df(spark, _n_for(spark, sf_dir))
     sigs = dhash_images(corpus)
     return phash_hamming_pairs(sigs, max_hamming=6)
+
+
+@register("image_resize_stats", oracle=golden_oracle("image_resize_stats"))
+def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize path under the gate: nearest-neighbor resize to 16x16, decode
+    the re-encoded PNG output, per-fmt exact aggregates (row counts, output
+    byte sizes, sum of FLOOR-quantized output means). Proves the resample
+    grid and the PNG re-encode byte-for-byte across rounds."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.images import resize_images
+    from ..sources.images import decode_png
+
+    imgs = generate_images_df(spark, max(30, _n_for(spark, sf_dir) // 5))
+    small = resize_images(imgs.select("image_id", "bytes", "fmt"), 16, 16)
+    # re-decode the resized PNG payload and reduce to exact per-row stats
+    def kernel(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                px = decode_png(bytes(r.out_bytes))
+                rows.append(
+                    (r.image_id, len(r.out_bytes),
+                     int(np.floor(px.astype(np.float64).mean() * 1e6)))
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "n_bytes", "mean_q6"]
+            )
+
+    stats = small.mapInPandas(
+        kernel, schema="image_id string, n_bytes long, mean_q6 long"
+    )
+    # fmt carried via the deterministic id suffix rule (idx % 3), kept
+    # JVM-side so only tiny stats rows reach the aggregation
+    return (
+        stats.withColumn(
+            "fmt",
+            F.expr(
+                "CASE CAST(substr(image_id, 4) AS BIGINT) % 3 "
+                "WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'bmp' END"
+            ),
+        )
+        .groupBy("fmt")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_bytes").alias("sum_bytes"),
+            F.sum("mean_q6").alias("sum_mean_q6"),
+        )
+    )
