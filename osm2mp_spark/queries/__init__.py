@@ -64,3 +64,4 @@ def load_all() -> None:
     from . import kernels_q  # noqa: F401
     from . import sources_q  # noqa: F401
     from . import render  # noqa: F401
+    from . import raster  # noqa: F401

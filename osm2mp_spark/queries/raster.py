@@ -1,0 +1,202 @@
+"""Raster ↔ vector tile operators (north_star: "raster↔vector tile
+assignment") — all three stages exact-SQL-oracle-able, no golden needed.
+
+vector→raster (`raster_tiles`): points → per-tile G×G pixel density grid,
+kept SPARSE as (tile_id, py, px, n) rows — at 10^12 points the dense array
+per tile is a `collect_list` away, but the sparse form is what shuffles.
+The global pixel index is computed first and the tile id derived from it by
+integer division, which is exactly `grid_tile_expr`'s clamped assignment
+(floor-division compatibility: (gx DIV G) == floor(frac * NX)).
+
+raster→vector (`raster_vectorize` / `raster_polygonize`): occupancy
+threshold, then gaps-and-islands over pixel columns → horizontal runs, then
+a second gaps-and-islands over rows merging equal-extent runs → rectangles.
+This is run-length vectorization — the same window shape as the reference's
+inside-run segmentation (W4, osm2mp.pl:745-780), applied to raster rows.
+Geographic extents reconstruct from pixel indexes with exact binary
+arithmetic (360/256 = 1.40625 and 180/256 = 0.703125 are exact doubles),
+so every output column is bit-identical across engines.
+
+Scale: one shuffle to the sparse raster (map-side-combined groupBy), then
+windows partitioned by (tile, row) — bounded by the pixel grid, not the
+point count; the raster stages never see more than NX·NY·G·G rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..sources.points import LINEITEM_VKEY_SQL as _VKEY, derived_lat_sql, derived_lon_sql
+from . import register
+
+_G = 16          # pixels per tile side
+_NX = 16         # tiles per world axis (grid_tile_expr default)
+_PX = _G * _NX   # 256 world pixels per axis
+_LON_PP = 360.0 / _PX   # 1.40625  — exact binary double
+_LAT_PP = 180.0 / _PX   # 0.703125 — exact binary double
+_T = 2           # occupancy threshold (pixels with n >= _T are "set")
+
+
+def _gx_sql(lon: str) -> str:
+    return (f"LEAST({_PX - 1}, GREATEST(0, "
+            f"CAST(FLOOR(({lon} + 180.0) / 360.0 * {_PX}) AS INT)))")
+
+
+def _gy_sql(lat: str) -> str:
+    return (f"LEAST({_PX - 1}, GREATEST(0, "
+            f"CAST(FLOOR(({lat} + 90.0) / 180.0 * {_PX}) AS INT)))")
+
+
+def _raster_cte(engine: str) -> str:
+    """Shared points → sparse-raster SQL. Only integer division spells
+    differently between the engines."""
+    dv = "//" if engine == "duckdb" else "DIV"
+    return f"""
+pts AS (SELECT {derived_lon_sql(_VKEY)} AS lon, {derived_lat_sql(_VKEY)} AS lat
+        FROM lineitem),
+gpx AS (SELECT {_gx_sql('lon')} AS gx, {_gy_sql('lat')} AS gy FROM pts),
+raster AS (
+  SELECT CAST((gy {dv} {_G}) * {_NX} + (gx {dv} {_G}) AS INT) AS tile_id,
+         CAST(gy % {_G} AS INT) AS py, CAST(gx % {_G} AS INT) AS px,
+         COUNT(*) AS n
+  FROM gpx GROUP BY 1, 2, 3)"""
+
+
+def _runs_cte(engine: str) -> str:
+    """raster → horizontal runs (gaps-and-islands on px per (tile, row))."""
+    return f"""{_raster_cte(engine)},
+occ AS (
+  SELECT tile_id, py, px, n,
+         px - CAST(ROW_NUMBER() OVER (PARTITION BY tile_id, py ORDER BY px)
+                   AS INT) AS grp
+  FROM raster WHERE n >= {_T}),
+segs AS (
+  SELECT tile_id, py, MIN(px) AS px0, MAX(px) AS px1,
+         CAST(SUM(n) AS BIGINT) AS n_points
+  FROM occ GROUP BY tile_id, py, grp)"""
+
+
+def _spark_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+        f"{derived_lon_sql(_VKEY)} AS lon", f"{derived_lat_sql(_VKEY)} AS lat"
+    )
+    return (
+        li.selectExpr(f"{_gx_sql('lon')} AS gx", f"{_gy_sql('lat')} AS gy")
+        .selectExpr(
+            f"CAST((gy DIV {_G}) * {_NX} + (gx DIV {_G}) AS INT) AS tile_id",
+            f"CAST(gy % {_G} AS INT) AS py",
+            f"CAST(gx % {_G} AS INT) AS px",
+        )
+        .groupBy("tile_id", "py", "px")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def runs_from_raster(occ: DataFrame) -> DataFrame:
+    """Occupied pixels (tile_id, py, px, n) → horizontal runs
+    (tile_id, py, px0, px1, n_points) via gaps-and-islands."""
+    w = Window.partitionBy("tile_id", "py").orderBy("px")
+    grp = (F.col("px") - F.row_number().over(w).cast("int")).alias("grp")
+    return (
+        occ.select("tile_id", "py", "px", "n", grp)
+        .groupBy("tile_id", "py", "grp")
+        .agg(
+            F.min("px").alias("px0"),
+            F.max("px").alias("px1"),
+            F.sum("n").cast("bigint").alias("n_points"),
+        )
+        .drop("grp")
+    )
+
+
+def rects_from_runs(segs: DataFrame) -> DataFrame:
+    """Runs → rectangles: merge vertically-adjacent runs of EQUAL horizontal
+    extent (second gaps-and-islands keyed by the extent)."""
+    w = Window.partitionBy("tile_id", "px0", "px1").orderBy("py")
+    grp = (F.col("py") - F.row_number().over(w).cast("int")).alias("grp")
+    return (
+        segs.select("tile_id", "px0", "px1", "py", "n_points", grp)
+        .groupBy("tile_id", "px0", "px1", "grp")
+        .agg(
+            F.min("py").alias("py0"),
+            F.max("py").alias("py1"),
+            F.sum("n_points").cast("bigint").alias("n_points"),
+        )
+        .drop("grp")
+        .selectExpr(
+            "tile_id", "px0", "px1", "py0", "py1", "n_points",
+            "CAST((px1 - px0 + 1) * (py1 - py0 + 1) AS INT) AS n_pixels",
+        )
+    )
+
+
+def _spark_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return runs_from_raster(_spark_raster(spark, sf_dir).filter(F.col("n") >= _T))
+
+
+@register(
+    "raster_tiles",
+    oracle=f"""
+WITH {_raster_cte('duckdb')}
+SELECT tile_id, py, px, CAST(n AS BIGINT) AS n FROM raster
+""",
+)
+def raster_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector→raster: per-tile G×G pixel density (sparse rows). ONE
+    map-side-combined shuffle; pixel ids from exact clamped-floor
+    arithmetic shared with grid_tile_expr."""
+    return _spark_raster(spark, sf_dir).withColumn(
+        "n", F.col("n").cast("bigint")
+    )
+
+
+@register(
+    "raster_vectorize",
+    oracle=f"""
+WITH {_runs_cte('duckdb')}
+SELECT tile_id, py, px0, px1, n_points,
+       -180.0 + ((tile_id % {_NX}) * {_G} + px0) * {_LON_PP!r} AS lon0,
+       -180.0 + ((tile_id % {_NX}) * {_G} + px1 + 1) * {_LON_PP!r} AS lon1,
+       -90.0 + ((tile_id // {_NX}) * {_G} + py) * {_LAT_PP!r} AS lat0,
+       -90.0 + ((tile_id // {_NX}) * {_G} + py + 1) * {_LAT_PP!r} AS lat1
+FROM segs
+""",
+)
+def raster_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster→vector, stage 1: horizontal run-length extraction of occupied
+    pixels (gaps-and-islands window per (tile, row)) with exact geographic
+    run extents."""
+    # NB the D suffixes: Spark parses bare decimal literals as DECIMAL and
+    # the whole expression would silently leave double arithmetic
+    return _spark_runs(spark, sf_dir).selectExpr(
+        "tile_id", "py", "px0", "px1", "n_points",
+        f"-180.0D + ((tile_id % {_NX}) * {_G} + px0) * {_LON_PP!r}D AS lon0",
+        f"-180.0D + ((tile_id % {_NX}) * {_G} + px1 + 1) * {_LON_PP!r}D AS lon1",
+        f"-90.0D + ((tile_id DIV {_NX}) * {_G} + py) * {_LAT_PP!r}D AS lat0",
+        f"-90.0D + ((tile_id DIV {_NX}) * {_G} + py + 1) * {_LAT_PP!r}D AS lat1",
+    )
+
+
+@register(
+    "raster_polygonize",
+    oracle=f"""
+WITH {_runs_cte('duckdb')},
+vgrp AS (
+  SELECT tile_id, px0, px1, py, n_points,
+         py - CAST(ROW_NUMBER() OVER (PARTITION BY tile_id, px0, px1
+                                      ORDER BY py) AS INT) AS grp
+  FROM segs),
+rects AS (
+  SELECT tile_id, px0, px1, MIN(py) AS py0, MAX(py) AS py1,
+         CAST(SUM(n_points) AS BIGINT) AS n_points
+  FROM vgrp GROUP BY tile_id, px0, px1, grp)
+SELECT tile_id, px0, px1, py0, py1, n_points,
+       CAST((px1 - px0 + 1) * (py1 - py0 + 1) AS INT) AS n_pixels
+FROM rects
+""",
+)
+def raster_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster→vector, stage 2: merge vertically-adjacent equal-extent runs
+    into rectangles (second gaps-and-islands, keyed by the run extent) —
+    the vector polygons of the occupied region."""
+    return rects_from_runs(_spark_runs(spark, sf_dir))

@@ -239,3 +239,62 @@ class TestBSPFromHistogram:
             (0, 0.0, 0.0, 1.0, 1.0),
             (1, 5.0, 0.0, 6.0, 1.0),
         ]
+
+
+class TestRasterVector:
+    """Raster↔vector tile operators (queries/raster.py): hand fixture for
+    the run-length vectorization, pixel/tile index consistency, plan shape.
+    The sf-scale outputs are exact-SQL-gated (raster_* in the registry)."""
+
+    def test_runs_and_rects_hand_fixture(self, spark):
+        from osm2mp_spark.queries.raster import rects_from_runs, runs_from_raster
+
+        # one tile, occupancy mask (py, px):
+        #   row 1: px 2,3,4        -> run (2,4)
+        #   row 2: px 2,3,4        -> run (2,4)   => rect rows 1-2 x cols 2-4
+        #   row 3: px 2,3,  6,7    -> runs (2,3), (6,7)
+        occ = spark.createDataFrame(
+            [(0, 1, 2, 1), (0, 1, 3, 1), (0, 1, 4, 2),
+             (0, 2, 2, 1), (0, 2, 3, 1), (0, 2, 4, 1),
+             (0, 3, 2, 5), (0, 3, 3, 1), (0, 3, 6, 1), (0, 3, 7, 1)],
+            "tile_id int, py int, px int, n long",
+        )
+        runs = runs_from_raster(occ).toPandas().sort_values(
+            ["py", "px0"]).reset_index(drop=True)
+        assert [tuple(r) for r in runs[["py", "px0", "px1", "n_points"]]
+                .itertuples(index=False)] == [
+            (1, 2, 4, 4), (2, 2, 4, 3), (3, 2, 3, 6), (3, 6, 7, 2)]
+
+        rects = rects_from_runs(runs_from_raster(occ)).toPandas() \
+            .sort_values(["py0", "px0"]).reset_index(drop=True)
+        got = [tuple(r) for r in rects[
+            ["px0", "px1", "py0", "py1", "n_points", "n_pixels"]]
+            .itertuples(index=False)]
+        assert got == [(2, 4, 1, 2, 7, 6), (2, 3, 3, 3, 6, 2),
+                       (6, 7, 3, 3, 2, 2)]
+
+    def test_pixel_tile_consistency_with_grid_expr(self, spark):
+        """The tile id derived from global pixel indexes must equal
+        grid_tile_expr's clamped assignment for every point."""
+        from osm2mp_spark.operators.tiles import grid_tile_expr
+        from osm2mp_spark.queries.raster import _G, _NX, _gx_sql, _gy_sql
+
+        pts = spark.range(0, 20000).selectExpr(
+            "(id % 3600000 * 761 % 3600000) / 1e4 - 180.0 AS lon",
+            "(id % 1800000 * 389 % 1800000) / 1e4 - 90.0  AS lat",
+        )
+        bad = pts.selectExpr(
+            f"{grid_tile_expr('lon', 'lat')} AS t_grid",
+            f"(({_gy_sql('lat')}) DIV {_G}) * {_NX} + (({_gx_sql('lon')}) DIV {_G}) AS t_px",
+        ).filter("t_grid != t_px").count()
+        assert bad == 0
+
+    def test_raster_plan_no_cartesian_one_exchange(self, spark):
+        import __spark_entry__ as E
+
+        df = E.queries()["raster_tiles"](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        # map-side combine: partial_count before the single exchange
+        assert plan.count("Exchange") == 1
+        assert "partial_count" in plan
