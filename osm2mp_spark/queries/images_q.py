@@ -242,3 +242,87 @@ def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("mean_q6").alias("sum_mean_q6"),
         )
     )
+
+
+# corpus ids are 'pimg%09d' (+ 'd' for a planted near-dup), so they pack
+# losslessly into a bigint key: idx*2 + is_dup — min-key order equals
+# lexicographic id order, which makes the min-label keeper the min id.
+def _img_key(col: str) -> str:
+    return (f"CAST(substr({col}, 5, 9) AS BIGINT) * 2 + "
+            f"CASE WHEN {col} LIKE '%d' THEN 1 ELSE 0 END")
+
+
+def _img_unkey(col: str, engine: str) -> str:
+    fmt = "printf" if engine == "duckdb" else "format_string"
+    return (f"concat({fmt}('pimg%09d', {col} {'//' if engine == 'duckdb' else 'DIV'} 2), "
+            f"CASE WHEN {col} % 2 = 1 THEN 'd' ELSE '' END)")
+
+
+def _dhash_clusters_oracle(max_hamming: int = 6) -> str | None:
+    """Recursive-CTE connected components over the golden signature table's
+    all-pairs Hamming join — the DuckDB twin of the pointer-doubling
+    min-label engine, computed by a completely different algorithm."""
+    from . import golden_path
+
+    path = golden_path("image_dhash")
+    if path is None:
+        return None
+    return f"""
+WITH RECURSIVE sigs AS (
+  SELECT image_id, dhash, {_img_key('image_id')} AS k
+  FROM read_parquet('{path}')),
+pairs AS (
+  SELECT a.k AS ka, b.k AS kb FROM sigs a JOIN sigs b
+   ON a.image_id < b.image_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= {max_hamming}),
+und AS (SELECT ka AS a, kb AS b FROM pairs
+        UNION ALL SELECT kb AS a, ka AS b FROM pairs),
+comp(v, lab) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM und)
+  UNION
+  SELECT u.b, c.lab FROM comp c JOIN und u ON u.a = c.v),
+lbl AS (SELECT v, MIN(lab) AS cl FROM comp GROUP BY v),
+allv AS (SELECT s.k, COALESCE(l.cl, s.k) AS cl
+         FROM sigs s LEFT JOIN lbl l ON s.k = l.v),
+sizes AS (SELECT cl, COUNT(*) AS n FROM allv GROUP BY cl)
+SELECT {_img_unkey('a.k', 'duckdb')} AS image_id,
+       {_img_unkey('a.cl', 'duckdb')} AS cluster_id,
+       CAST(s.n AS BIGINT) AS cluster_size,
+       (a.k = a.cl) AS keep
+FROM allv a JOIN sizes s ON s.cl = a.cl
+-- GOLDEN sf0.01
+"""
+
+
+@register("image_dedup_clusters", oracle=_dhash_clusters_oracle())
+def image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image dedup family's terminal per-row keep/drop decision
+    (dedup_clusters' image twin): dHash → banded Hamming pairs →
+    min-label connected components (pointer doubling) → keeper = min
+    image_id per cluster; singletons bypass the iteration. Oracle:
+    recursive-CTE closure over the golden signature table's all-pairs
+    join — an entirely independent plan."""
+    from ..operators.chains import min_label_components
+    from ..operators.images import dhash_images, phash_hamming_pairs
+    from ..sources.images import generate_phash_corpus_df
+
+    corpus = generate_phash_corpus_df(spark, _n_for(spark, sf_dir))
+    # two consumers (pair join + vertex table): checkpoint so the
+    # generate+decode lineage executes once, not per branch
+    sigs = dhash_images(corpus).localCheckpoint(eager=False)
+    pairs = phash_hamming_pairs(sigs, max_hamming=6).selectExpr(
+        f"{_img_key('id_a')} AS ka", f"{_img_key('id_b')} AS kb"
+    )
+    labels = min_label_components(pairs, src="ka", dst="kb")
+    allv = (
+        sigs.selectExpr(f"{_img_key('image_id')} AS k")
+        .join(labels.withColumnRenamed("vertex", "k"), "k", "left")
+        .selectExpr("k", "COALESCE(label, k) AS cl")
+    )
+    sizes = allv.groupBy("cl").agg(F.count("*").alias("n"))
+    return allv.join(sizes, "cl").selectExpr(
+        f"{_img_unkey('k', 'spark')} AS image_id",
+        f"{_img_unkey('cl', 'spark')} AS cluster_id",
+        "CAST(n AS BIGINT) AS cluster_size",
+        "(k = cl) AS keep",
+    )
