@@ -200,3 +200,118 @@ def raster_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     into rectangles (second gaps-and-islands, keyed by the run extent) —
     the vector polygons of the occupied region."""
     return rects_from_runs(_spark_runs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Marching squares: raster occupancy → contour segments.
+#
+# Cells are classified on GLOBAL pixel coordinates (no per-tile seams: a
+# contour crossing a tile border is produced by the same cell either way).
+# Instead of densifying the grid, every occupied pixel scatters a corner
+# bit into the ≤4 cells it touches (explode×4 → groupBy-sum — the sparse
+# formulation; cells never touched by an occupied pixel are case 0 and
+# never materialize). Corner bits: TL=1, TR=2, BL=4, BR=8; the 16-case
+# segment table runs edge-midpoint to edge-midpoint, saddles (6, 9)
+# resolved by the fixed two-segment convention. Endpoints are emitted in
+# DOUBLED pixel coordinates (corners even, midpoints odd) so every output
+# column is an exact integer — the DuckDB oracle matches bit-for-bit.
+# ---------------------------------------------------------------------------
+
+# (case_id, seg, ax, ay, bx, by) in doubled cell-local coords:
+# T=(1,0)  B=(1,2)  L=(0,1)  R=(2,1)
+_MS_SEGMENTS = [
+    (1, 0, 1, 0, 0, 1),    # TL        : T-L
+    (2, 0, 1, 0, 2, 1),    # TR        : T-R
+    (3, 0, 0, 1, 2, 1),    # TL TR     : L-R
+    (4, 0, 0, 1, 1, 2),    # BL        : L-B
+    (5, 0, 1, 0, 1, 2),    # TL BL     : T-B
+    (6, 0, 1, 0, 2, 1),    # TR BL     : saddle -> T-R, L-B
+    (6, 1, 0, 1, 1, 2),
+    (7, 0, 2, 1, 1, 2),    # TL TR BL  : R-B
+    (8, 0, 2, 1, 1, 2),    # BR        : R-B
+    (9, 0, 1, 0, 0, 1),    # TL BR     : saddle -> T-L, R-B
+    (9, 1, 2, 1, 1, 2),
+    (10, 0, 1, 0, 1, 2),   # TR BR     : T-B
+    (11, 0, 0, 1, 1, 2),   # TL TR BR  : L-B
+    (12, 0, 0, 1, 2, 1),   # BL BR     : L-R
+    (13, 0, 1, 0, 2, 1),   # TL BL BR  : T-R
+    (14, 0, 1, 0, 0, 1),   # TR BL BR  : T-L
+]
+
+_MS_VALUES = ", ".join(f"({c}, {s}, {ax}, {ay}, {bx}, {by})"
+                       for c, s, ax, ay, bx, by in _MS_SEGMENTS)
+
+
+def _cells_cte(engine: str) -> str:
+    return f"""
+pts AS (SELECT {derived_lon_sql(_VKEY)} AS lon, {derived_lat_sql(_VKEY)} AS lat
+        FROM lineitem),
+occ AS (
+  SELECT {_gy_sql('lat')} AS gy, {_gx_sql('lon')} AS gx
+  FROM pts GROUP BY 1, 2 HAVING COUNT(*) >= {_T}),
+offs(dy, dx) AS (VALUES (0, 0), (0, 1), (1, 0), (1, 1)),
+cells AS (
+  SELECT gy - dy AS cy, gx - dx AS cx,
+         CAST(SUM(CASE WHEN dy = 0 AND dx = 0 THEN 1
+                       WHEN dy = 0 AND dx = 1 THEN 2
+                       WHEN dy = 1 AND dx = 0 THEN 4
+                       ELSE 8 END) AS INT) AS case_id
+  FROM occ CROSS JOIN offs GROUP BY 1, 2)"""
+
+
+@register(
+    "raster_contours",
+    oracle=f"""
+WITH {_cells_cte('duckdb')},
+segs(case_id, seg, ax, ay, bx, by) AS (VALUES {_MS_VALUES})
+SELECT c.cy, c.cx, c.case_id, s.seg,
+       CAST(2 * c.cx + s.ax AS INT) AS x0, CAST(2 * c.cy + s.ay AS INT) AS y0,
+       CAST(2 * c.cx + s.bx AS INT) AS x1, CAST(2 * c.cy + s.by AS INT) AS y1
+FROM cells c JOIN segs s ON c.case_id = s.case_id
+""",
+)
+def raster_contours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster→vector, stage 3: marching-squares contour segments of the
+    occupied region. Sparse scatter (explode ×4) → one groupBy-sum →
+    broadcast join against the 16-row case dimension; the contour-cell
+    count is bounded by the occupied-region boundary, not the point
+    count."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+        f"{derived_lon_sql(_VKEY)} AS lon", f"{derived_lat_sql(_VKEY)} AS lat"
+    )
+    occ = (
+        li.selectExpr(f"{_gy_sql('lat')} AS gy", f"{_gx_sql('lon')} AS gx")
+        .groupBy("gy", "gx")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= _T)
+    )
+    return contours_from_occupancy(occ)
+
+
+def contours_from_occupancy(occ: DataFrame) -> DataFrame:
+    """Occupied pixels (gy, gx) → marching-squares contour segments in
+    doubled integer coordinates."""
+    spark = occ.sparkSession
+    cells = (
+        occ.selectExpr(
+            "gy", "gx",
+            "explode(array(struct(0 AS dy, 0 AS dx, 1 AS bit), "
+            "              struct(0 AS dy, 1 AS dx, 2 AS bit), "
+            "              struct(1 AS dy, 0 AS dx, 4 AS bit), "
+            "              struct(1 AS dy, 1 AS dx, 8 AS bit))) AS o",
+        )
+        .selectExpr("gy - o.dy AS cy", "gx - o.dx AS cx", "o.bit AS bit")
+        .groupBy("cy", "cx")
+        .agg(F.sum("bit").cast("int").alias("case_id"))
+    )
+    seg_dim = spark.createDataFrame(
+        _MS_SEGMENTS, "case_id int, seg int, ax int, ay int, bx int, by int"
+    )
+    return (
+        cells.join(F.broadcast(seg_dim), "case_id")
+        .selectExpr(
+            "cy", "cx", "case_id", "seg",
+            "CAST(2 * cx + ax AS INT) AS x0", "CAST(2 * cy + ay AS INT) AS y0",
+            "CAST(2 * cx + bx AS INT) AS x1", "CAST(2 * cy + by AS INT) AS y1",
+        )
+    )

@@ -298,3 +298,33 @@ class TestRasterVector:
         # map-side combine: partial_count before the single exchange
         assert plan.count("Exchange") == 1
         assert "partial_count" in plan
+
+    def test_marching_squares_hand_fixture_and_closure(self, spark):
+        """Single pixel → the 4-segment diamond around it; an L-shaped
+        region's contour is CLOSED (every doubled-coordinate endpoint
+        appears an even number of times — segments pair up into loops)."""
+        from collections import Counter
+
+        from osm2mp_spark.queries.raster import contours_from_occupancy
+
+        one = spark.createDataFrame([(5, 5)], "gy int, gx int")
+        segs = contours_from_occupancy(one).toPandas()
+        assert len(segs) == 4
+        assert sorted(map(tuple, segs[["case_id"]].values)) == [(1,), (2,), (4,), (8,)]
+        # the diamond: midpoint endpoints around pixel (5,5) in doubled coords
+        pts = Counter()
+        for r in segs.itertuples():
+            pts[(r.x0, r.y0)] += 1
+            pts[(r.x1, r.y1)] += 1
+        assert all(v == 2 for v in pts.values())
+        assert set(pts) == {(9, 10), (11, 10), (10, 9), (10, 11)}
+
+        # L-shape: pixels (0,0),(1,0),(1,1) — includes a concave corner
+        ell = spark.createDataFrame([(0, 0), (1, 0), (1, 1)], "gy int, gx int")
+        segs = contours_from_occupancy(ell).toPandas()
+        pts = Counter()
+        for r in segs.itertuples():
+            pts[(r.x0, r.y0)] += 1
+            pts[(r.x1, r.y1)] += 1
+        # closed contour(s): every endpoint met exactly twice
+        assert all(v == 2 for v in pts.values()), pts
