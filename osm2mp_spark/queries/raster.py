@@ -315,3 +315,101 @@ def contours_from_occupancy(occ: DataFrame) -> DataFrame:
             "CAST(2 * cx + bx AS INT) AS x1", "CAST(2 * cy + by AS INT) AS y1",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Contour-ring assembly: marching-squares segments → closed rings.
+#
+# Every contour endpoint is shared by EXACTLY two segments (closed-curve
+# parity, pytest-proven), so the segment graph is a disjoint union of
+# cycles and ring assembly is connected components — the raster face of G1
+# multipolygon assembly, solved by the same pointer-doubling min-label
+# engine as road merging / dedup clusters. Segment and endpoint identities
+# pack into exact integers, so the DuckDB oracle (recursive-CTE min-label
+# closure over the identical SQL-derived segment set) matches bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_SEG_KEY = "((cy + 1) * 257 + (cx + 1)) * 2 + seg"   # unique per segment
+
+
+def _ep_key(x: str, y: str) -> str:
+    return f"(({y}) + 2) * 1024 + (({x}) + 2)"       # unique per endpoint
+
+
+@register(
+    "raster_contour_rings",
+    oracle=f"""
+WITH RECURSIVE {_cells_cte('duckdb')},
+ms(case_id, seg, ax, ay, bx, by) AS (VALUES {_MS_VALUES}),
+contour AS (
+  SELECT c.cy, c.cx, s.seg,
+         2 * c.cx + s.ax AS x0, 2 * c.cy + s.ay AS y0,
+         2 * c.cx + s.bx AS x1, 2 * c.cy + s.by AS y1
+  FROM cells c JOIN ms s ON c.case_id = s.case_id),
+sk AS (SELECT {_SEG_KEY} AS k, x0, y0, x1, y1 FROM contour),
+eps AS (SELECT k, {_ep_key('x0', 'y0')} AS ep FROM sk
+        UNION ALL SELECT k, {_ep_key('x1', 'y1')} AS ep FROM sk),
+edges AS (
+  SELECT DISTINCT a.k AS ka, b.k AS kb
+  FROM eps a JOIN eps b ON a.ep = b.ep AND a.k < b.k),
+und AS (SELECT ka AS a, kb AS b FROM edges
+        UNION ALL SELECT kb AS a, ka AS b FROM edges),
+comp(v, lab) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM und)
+  UNION
+  SELECT u.b, c.lab FROM comp c JOIN und u ON u.a = c.v),
+lbl AS (SELECT v, MIN(lab) AS ring FROM comp GROUP BY v),
+ringv AS (SELECT l.ring, s.* FROM sk s JOIN lbl l ON l.v = s.k)
+SELECT CAST(ring AS INT) AS ring_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+       CAST(LEAST(MIN(x0), MIN(x1)) AS INT) AS x_min,
+       CAST(GREATEST(MAX(x0), MAX(x1)) AS INT) AS x_max,
+       CAST(LEAST(MIN(y0), MIN(y1)) AS INT) AS y_min,
+       CAST(GREATEST(MAX(y0), MAX(y1)) AS INT) AS y_max
+FROM ringv GROUP BY ring
+""",
+)
+def raster_contour_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster→vector, stage 4: assemble contour segments into closed rings
+    (ring_id = min packed segment key in the cycle) with per-ring segment
+    counts and integer bounding boxes."""
+    segs = raster_contours(spark, sf_dir).selectExpr(
+        f"{_SEG_KEY} AS k", "x0", "y0", "x1", "y1"
+    )
+    return rings_from_segments(segs)
+
+
+def rings_from_segments(segs: DataFrame) -> DataFrame:
+    """(k, x0, y0, x1, y1) contour segments → per-ring aggregates via
+    min-label connected components over the shared-endpoint graph."""
+    from ..operators.chains import min_label_components
+
+    # two consumers (edge build + final agg): checkpoint the segment table
+    segs = segs.localCheckpoint(eager=False)
+    eps = segs.selectExpr("k", f"{_ep_key('x0', 'y0')} AS ep").unionByName(
+        segs.selectExpr("k", f"{_ep_key('x1', 'y1')} AS ep")
+    )
+    a = eps.selectExpr("k AS ka", "ep")
+    b = eps.selectExpr("k AS kb", "ep")
+    edges = (
+        a.join(b, "ep")
+        .filter(F.col("ka") < F.col("kb"))
+        .select("ka", "kb")
+        .distinct()
+    )
+    labels = min_label_components(edges, src="ka", dst="kb", max_rounds=24)
+    ringv = segs.join(
+        labels.withColumnRenamed("vertex", "k").withColumnRenamed(
+            "label", "ring"
+        ),
+        "k",
+    )
+    return ringv.groupBy("ring").agg(
+        F.count("*").cast("bigint").alias("n_segs"),
+        F.least(F.min("x0"), F.min("x1")).cast("int").alias("x_min"),
+        F.greatest(F.max("x0"), F.max("x1")).cast("int").alias("x_max"),
+        F.least(F.min("y0"), F.min("y1")).cast("int").alias("y_min"),
+        F.greatest(F.max("y0"), F.max("y1")).cast("int").alias("y_max"),
+    ).selectExpr(
+        "CAST(ring AS INT) AS ring_id", "n_segs",
+        "x_min", "x_max", "y_min", "y_max",
+    )

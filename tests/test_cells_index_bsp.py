@@ -328,3 +328,30 @@ class TestRasterVector:
             pts[(r.x1, r.y1)] += 1
         # closed contour(s): every endpoint met exactly twice
         assert all(v == 2 for v in pts.values()), pts
+
+    def test_ring_assembly_hand_fixture(self, spark):
+        """One pixel -> one 4-segment ring; two far-apart pixels -> two
+        rings; a 2x2 block -> ONE 8-segment ring around it."""
+        from osm2mp_spark.queries.raster import (
+            _SEG_KEY,
+            contours_from_occupancy,
+            rings_from_segments,
+        )
+
+        def rings_of(pix):
+            occ = spark.createDataFrame(pix, "gy int, gx int")
+            segs = contours_from_occupancy(occ).selectExpr(
+                f"{_SEG_KEY} AS k", "x0", "y0", "x1", "y1"
+            )
+            return rings_from_segments(segs).toPandas()
+
+        one = rings_of([(5, 5)])
+        assert len(one) == 1 and int(one.n_segs.iloc[0]) == 4
+
+        two = rings_of([(5, 5), (20, 20)])
+        assert len(two) == 2 and list(two.n_segs) == [4, 4]
+
+        block = rings_of([(5, 5), (5, 6), (6, 5), (6, 6)])
+        assert len(block) == 1 and int(block.n_segs.iloc[0]) == 8
+        # extremes are edge MIDPOINTS: left at x=2*4+1=9, right at x=2*6+1=13
+        assert (int(block.x_min.iloc[0]), int(block.x_max.iloc[0])) == (9, 13)
