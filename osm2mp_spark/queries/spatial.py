@@ -761,3 +761,70 @@ def _poly_oracle() -> str:
 
 
 ORACLES["clip_chains_poly"] = _poly_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical cell rollup (the H3/S2-style parent-cell hierarchy): counts
+# at levels 12/8/4/0 in ONE shuffle via ROLLUP grouping sets. The parent of
+# a Morton cell is a right-shift (ix >> k, iy >> k interleave to
+# morton >> 2k), so the whole hierarchy derives from the level-12 id with
+# integer ops — no re-encoding, no extra scan, and partial aggregation
+# combines map-side for every grouping set at once.
+# ---------------------------------------------------------------------------
+
+def _cell_parents_sql(engine: str) -> dict[str, str]:
+    base = (spark_cell_expr if engine == "spark" else duck_cell_expr)(
+        "lon", "lat", 12
+    )
+    mask = (1 << 58) - 1
+    if engine == "spark":  # F.expr's parser takes << but not >> — use funcs
+        morton = f"(({base}) & {mask})"
+        return {
+            "c12": f"({base})",
+            "c8": f"(shiftleft(CAST(8 AS BIGINT), 58) | shiftright({morton}, 8))",
+            "c4": f"(shiftleft(CAST(4 AS BIGINT), 58) | shiftright({morton}, 16))",
+        }
+    morton = f"(({base}) & {mask})"
+    return {
+        "c12": f"({base})",
+        "c8": f"((CAST(8 AS BIGINT) << 58) | ({morton} >> 8))",
+        "c4": f"((CAST(4 AS BIGINT) << 58) | ({morton} >> 16))",
+    }
+
+
+_DUCK_PARENTS = _cell_parents_sql("duckdb")
+
+
+@register(
+    "cell_rollup",
+    oracle=f"""
+WITH {_PTS_CTE},
+cells AS (
+  SELECT {_DUCK_PARENTS['c4']} AS c4, {_DUCK_PARENTS['c8']} AS c8,
+         {_DUCK_PARENTS['c12']} AS c12
+  FROM pts)
+SELECT CASE WHEN c12 IS NOT NULL THEN 12 WHEN c8 IS NOT NULL THEN 8
+            WHEN c4 IS NOT NULL THEN 4 ELSE 0 END AS level,
+       COALESCE(c12, c8, c4, CAST(0 AS BIGINT)) AS cell_id,
+       CAST(COUNT(*) AS BIGINT) AS n_points
+FROM cells GROUP BY ROLLUP(c4, c8, c12)
+""",
+)
+def cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution cell counts (levels 12 -> 8 -> 4 -> world) in a
+    single ROLLUP pass — parent ids derived from the level-12 Morton code
+    by shift, never re-encoded; one shuffle serves all four levels."""
+    p = _cell_parents_sql("spark")
+    pts = customer_points(spark, sf_dir).selectExpr(
+        f"{p['c4']} AS c4", f"{p['c8']} AS c8", f"{p['c12']} AS c12"
+    )
+    return (
+        pts.rollup("c4", "c8", "c12")
+        .agg(F.count("*").alias("n_points"))
+        .selectExpr(
+            "CASE WHEN c12 IS NOT NULL THEN 12 WHEN c8 IS NOT NULL THEN 8 "
+            "WHEN c4 IS NOT NULL THEN 4 ELSE 0 END AS level",
+            "COALESCE(c12, c8, c4, CAST(0 AS BIGINT)) AS cell_id",
+            "CAST(n_points AS BIGINT) AS n_points",
+        )
+    )

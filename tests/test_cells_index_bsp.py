@@ -355,3 +355,21 @@ class TestRasterVector:
         assert len(block) == 1 and int(block.n_segs.iloc[0]) == 8
         # extremes are edge MIDPOINTS: left at x=2*4+1=9, right at x=2*6+1=13
         assert (int(block.x_min.iloc[0]), int(block.x_max.iloc[0])) == (9, 13)
+
+    def test_cell_rollup_hierarchy_consistent(self, spark):
+        """Each parent level's counts must equal the sum of its children's
+        (the rollup is one pass, but the hierarchy must still be exact),
+        and level 0 equals the total point count."""
+        import __spark_entry__ as E
+
+        df = E.queries()["cell_rollup"](spark, "/root/testdata/sf0.001").toPandas()
+        total = df[df.level == 0].n_points.sum()
+        for lvl in (4, 8, 12):
+            assert df[df.level == lvl].n_points.sum() == total
+        # spot-check one level-8 parent against its level-12 children
+        l12 = df[df.level == 12].copy()
+        cid = l12.cell_id.to_numpy(dtype=np.int64)
+        l12["parent"] = ((cid & ((1 << 58) - 1)) >> 8) | (8 << 58)
+        kids = l12.groupby("parent").n_points.sum()
+        l8 = df[df.level == 8].set_index("cell_id").n_points
+        assert (kids == l8.loc[kids.index]).all()
