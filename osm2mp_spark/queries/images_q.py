@@ -326,3 +326,98 @@ def image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n AS BIGINT) AS cluster_size",
         "(k = cl) AS keep",
     )
+
+
+@register("image_dhash_multi", oracle=golden_oracle("image_dhash_multi"))
+def image_dhash_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dHash signatures over the ANN fixture corpus (variants=2: every 7th
+    original ships TWO cross-codec near-duplicates), golden-pinned — the
+    signature table image_ann_topk's oracle recomputes top-k from."""
+    from ..operators.images import dhash_images
+    from ..sources.images import generate_phash_corpus_df
+
+    corpus = generate_phash_corpus_df(spark, _n_for(spark, sf_dir), variants=2)
+    return dhash_images(corpus)
+
+
+def _ann_topk_oracle(max_hamming: int = 6, k: int = 3) -> str | None:
+    """Independent top-k: DuckDB ranks the ALL-PAIRS Hamming join over the
+    golden multi-variant signature table; Spark reaches the same rows
+    through the banded equi-join (lossless for the threshold), so the
+    results must be identical — including rank order, which is fully
+    deterministic under the (hamming, neighbor_id) sort."""
+    from . import golden_path
+
+    path = golden_path("image_dhash_multi")
+    if path is None:
+        return None
+    return f"""
+WITH sigs AS (SELECT * FROM read_parquet('{path}')),
+q AS (SELECT * FROM sigs
+      WHERE image_id LIKE '%d' OR image_id LIKE '%e'),
+cand AS (
+  SELECT q.image_id AS query_id, s.image_id AS neighbor_id,
+         CAST(bit_count(xor(q.dhash, s.dhash)) AS INT) AS hamming
+  FROM q JOIN sigs s ON s.image_id <> q.image_id
+  WHERE bit_count(xor(q.dhash, s.dhash)) <= {max_hamming}),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY hamming, neighbor_id) AS INT) AS rnk
+  FROM cand)
+SELECT query_id, neighbor_id, hamming, rnk FROM ranked WHERE rnk <= {k}
+-- GOLDEN sf0.01
+"""
+
+
+@register("image_ann_topk", oracle=_ann_topk_oracle())
+def image_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search over the image payload: per-query top-k nearest
+    images by perceptual-hash Hamming distance (k=3 within distance 6).
+    The query set (every planted variant) broadcast-joins the corpus
+    through the pigeonhole bands — never a cartesian — then an exact
+    popcount + deterministic (hamming, neighbor_id) window rank. The
+    image-payload face of the ANN family (ann_cosine_topk et al.)."""
+    from pyspark.sql import Window
+
+    from ..operators.images import dhash_images, hamming_band_layout
+    from ..sources.images import generate_phash_corpus_df
+
+    corpus = generate_phash_corpus_df(spark, _n_for(spark, sf_dir), variants=2)
+    sigs = dhash_images(corpus).localCheckpoint(eager=False)
+
+    bands = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned("dhash", off)
+            .bitwiseAND(F.lit((1 << wd) - 1))
+            .alias("key"),
+        )
+        for i, (off, wd) in enumerate(hamming_band_layout(6))
+    ]
+    e = sigs.select(
+        "image_id", "dhash", F.explode(F.array(*bands)).alias("b")
+    ).select("image_id", "dhash", "b.band", "b.key")
+    qs = e.filter("image_id LIKE '%d' OR image_id LIKE '%e'").select(
+        F.col("image_id").alias("query_id"), F.col("dhash").alias("qh"),
+        "band", "key",
+    )
+    cand = (
+        F.broadcast(qs).join(
+            e.select(
+                F.col("image_id").alias("neighbor_id"),
+                F.col("dhash").alias("nh"), "band", "key",
+            ),
+            ["band", "key"],
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "qh", "nh")
+        .distinct()
+        .withColumn("hamming", F.expr("CAST(bit_count(qh ^ nh) AS INT)"))
+        .filter(F.col("hamming") <= 6)
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        cand.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", "hamming", "rnk")
+    )

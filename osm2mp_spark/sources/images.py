@@ -334,19 +334,28 @@ def pattern_pixels_for(image_id: str, w: int, h: int) -> np.ndarray:
     return (base + noise.astype(np.float64) * 0.25).astype(np.uint8)
 
 
-def phash_corpus_row(idx: int, dup: bool) -> dict:
-    """One corpus row. `dup=True` emits the near-duplicate of original `idx`:
-    identical pattern AND noise (both derive from the ORIGINAL id), a sparse
-    +3 perturbation on every 97th sample, and the NEXT codec in rotation —
-    so the pair crosses a lossless/lossy codec boundary whenever possible."""
+_DUP_VARIANTS = (
+    # (id suffix, perturbation stride, perturbation delta, fmt rotation)
+    ("d", 97, 3, 1),
+    ("e", 89, 5, 2),  # only emitted when variants >= 2 (ANN fixtures)
+)
+
+
+def phash_corpus_row(idx: int, dup: bool, variant: int = 0) -> dict:
+    """One corpus row. `dup=True` emits near-duplicate `variant` of original
+    `idx`: identical pattern AND noise (both derive from the ORIGINAL id), a
+    sparse additive perturbation, and a rotated codec — so the pair crosses
+    a lossless/lossy codec boundary whenever possible. All perturbed values
+    stay ≤ 248 (no uint8 wrap)."""
     base_id = f"pimg{idx:09d}"
     w, h = W_CHOICES[idx % 3], H_CHOICES[idx % 3]
     px = pattern_pixels_for(base_id, w, h)
     if dup:
+        suffix, stride, delta, rot = _DUP_VARIANTS[variant]
         px = px.copy()
         flat = px.reshape(-1)
-        flat[::97] += 3  # bounded: max 243 + 3 = 246, no uint8 wrap
-        image_id, fmt = base_id + "d", FMT_CHOICES[(idx + 1) % 3]
+        flat[::stride] += delta
+        image_id, fmt = base_id + suffix, FMT_CHOICES[(idx + rot) % 3]
     else:
         image_id, fmt = base_id, FMT_CHOICES[idx % 3]
     return {
@@ -362,10 +371,13 @@ PHASH_CORPUS_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string"
 
 
 def generate_phash_corpus_df(spark, n: int, dup_every: int = 7,
-                             partitions: int | None = None):
-    """Distributed deterministic dedup corpus: n originals plus a
-    near-duplicate of every `dup_every`-th one (executor-side synthesis,
-    same 10^12-scale shape as generate_images_df)."""
+                             partitions: int | None = None,
+                             variants: int = 1):
+    """Distributed deterministic dedup corpus: n originals plus `variants`
+    near-duplicates of every `dup_every`-th one (executor-side synthesis,
+    same 10^12-scale shape as generate_images_df). variants=1 is the dedup
+    fixture; variants=2 the ANN top-k fixture (each dup has its original
+    AND a sibling within the Hamming threshold)."""
     import pandas as pd
 
     from ..shipping import ensure_shipped
@@ -380,7 +392,8 @@ def generate_phash_corpus_df(spark, n: int, dup_every: int = 7,
                 idx = int(i)
                 rows.append(phash_corpus_row(idx, dup=False))
                 if idx % dup_every == 0:
-                    rows.append(phash_corpus_row(idx, dup=True))
+                    for v in range(variants):
+                        rows.append(phash_corpus_row(idx, dup=True, variant=v))
             yield pd.DataFrame(rows)
 
     return rng.mapInPandas(gen, schema=PHASH_CORPUS_SCHEMA)

@@ -407,3 +407,20 @@ class TestPhashDedup:
         dropped = two[~two.keep]
         assert (dropped.image_id == dropped.cluster_id + "d").all()
         assert got[got.n == 1].keep.all()
+
+    def test_ann_topk_finds_original_and_sibling(self, spark):
+        """Every variant query's top-2 are its original and its sibling
+        variant (both within the threshold); ranks are deterministic."""
+        import __spark_entry__ as E
+
+        got = (
+            E.queries()["image_ann_topk"](spark, "/root/testdata/sf0.001")
+            .toPandas()
+        )
+        # sf0.001: 150 originals, dups at idx%7==0 -> 22 pairs x 2 variants
+        assert got.query_id.nunique() == 44
+        assert (got.hamming <= 6).all()
+        for qid, grp in got.groupby("query_id"):
+            base = qid[:-1]
+            assert set(grp.neighbor_id) <= {base, base + "d", base + "e"}
+            assert base in set(grp.neighbor_id)  # the original always found

@@ -30,8 +30,8 @@ GOLDEN_QUERIES = [
     "bsp_tiles", "sea_synthesis", "clip_polygons_concave",
     # multimodal payload queries: engine-generated tables, no DuckDB view
     # possible — all aggregates are order-independent exact arithmetic
-    "image_verify", "image_spatial_join", "image_dhash", "image_resize_stats",
-    "video_frame_sample",
+    "image_verify", "image_spatial_join", "image_dhash", "image_dhash_multi",
+    "image_resize_stats", "video_frame_sample",
     "audio_verify", "audio_features", "audio_spectrogram",
 ]
 SF_DIR = "/root/testdata/sf0.01"
