@@ -135,3 +135,103 @@ def mp_polyline_render(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("[END]\n"),
         ).alias("mp"),
     )
+
+
+# Routable road [POLYLINE] (render_mp_road twin): RouteParams carries the
+# Garmin speed class (same thresholds as functions/garmin speed_code and
+# plans.sinks._speed_code), DirIndicator only for oneways, Nod lines bind
+# the first and last chain positions to routing node ids.
+_RD_SPEED = "CAST(chain_id % 141 AS INT)"          # kmh 0..140
+_RD_CLASS = "CAST(chain_id % 5 AS INT)"
+_RD_ONEWAY = "CAST(chain_id % 2 AS INT)"
+_RD_TOLL = "CASE WHEN chain_id % 3 = 0 THEN 1 ELSE 0 END"
+
+_SPEED_CODE = """CASE WHEN spd >= 120 THEN 7 WHEN spd >= 100 THEN 6
+ WHEN spd >= 85 THEN 5 WHEN spd >= 70 THEN 4 WHEN spd >= 50 THEN 3
+ WHEN spd >= 30 THEN 2 WHEN spd >= 10 THEN 1 ELSE 0 END"""
+
+
+@register(
+    "mp_road_render",
+    oracle=f"""
+WITH pts AS (
+  SELECT CAST(l_orderkey AS BIGINT) AS chain_id, {_SEQ} AS seq,
+         {derived_lon_sql(_VKEY)} AS lon, {derived_lat_sql(_VKEY)} AS lat
+  FROM lineitem),
+chains AS (
+  SELECT chain_id,
+         array_to_string(LIST(printf('(%.5f,%.5f)', lat, lon) ORDER BY seq),
+                         ',') AS data0,
+         COUNT(*) AS n_pts
+  FROM pts GROUP BY chain_id),
+attrs AS (
+  SELECT chain_id, data0, n_pts, {_RD_SPEED} AS spd FROM chains)
+SELECT chain_id,
+       '[POLYLINE]' || chr(10) || 'Data0=' || data0 || chr(10)
+       || printf('RoadID=%d', chain_id) || chr(10)
+       || CASE WHEN {_RD_ONEWAY} = 1 THEN 'DirIndicator=1' || chr(10)
+               ELSE '' END
+       || printf('RouteParams=%d,%d,%d,%d,0,0,0,0,0,0,0,0',
+                 {_SPEED_CODE}, {_RD_CLASS}, {_RD_ONEWAY}, {_RD_TOLL})
+       || chr(10)
+       || printf('Type=0x%x', CAST(2 + chain_id % 6 AS INT)) || chr(10)
+       || printf('Label=road %d', chain_id) || chr(10)
+       || printf('Nod0=0,%d,0', chain_id * 2) || chr(10)
+       || printf('Nod1=%d,%d,0', n_pts - 1, chain_id * 2 + 1) || chr(10)
+       || '[END]' || chr(10) AS mp
+FROM attrs
+""",
+)
+def mp_road_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 — routable road [POLYLINE] sections: ordered Data0 run, RoadID,
+    DirIndicator (oneway only), RouteParams with the Garmin speed-class
+    CASE, Type/Label, and Nod lines binding the chain's first/last
+    positions to routing node ids — all JVM-side, one groupBy."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").cast("bigint").alias("chain_id"),
+        F.expr(_SEQ).alias("seq"),
+        F.expr(_VKEY).alias("__vkey"),
+    )
+    pts = with_derived_position(li, "__vkey")
+    chains = (
+        pts.select(
+            "chain_id",
+            F.struct(
+                F.col("seq"),
+                F.format_string("(%.5f,%.5f)", F.col("lat"), F.col("lon")).alias(
+                    "txt"
+                ),
+            ).alias("p"),
+        )
+        .groupBy("chain_id")
+        .agg(
+            F.expr(
+                "concat_ws(',', transform(sort_array(collect_list(p)), x -> x.txt))"
+            ).alias("data0"),
+            F.count("*").alias("n_pts"),
+        )
+        .withColumn("spd", F.expr(_RD_SPEED))
+    )
+    return chains.select(
+        "chain_id",
+        F.concat(
+            F.lit("[POLYLINE]\nData0="), F.col("data0"), F.lit("\n"),
+            F.format_string("RoadID=%d\n", F.col("chain_id")),
+            F.expr(
+                f"CASE WHEN {_RD_ONEWAY} = 1 THEN 'DirIndicator=1\n' "
+                f"ELSE '' END"
+            ),
+            F.format_string(
+                "RouteParams=%d,%d,%d,%d,0,0,0,0,0,0,0,0\n",
+                F.expr(_SPEED_CODE), F.expr(_RD_CLASS),
+                F.expr(_RD_ONEWAY), F.expr(_RD_TOLL),
+            ),
+            F.format_string("Type=0x%x\n", F.expr("CAST(2 + chain_id % 6 AS INT)")),
+            F.format_string("Label=road %d\n", F.col("chain_id")),
+            F.format_string("Nod0=0,%d,0\n", F.col("chain_id") * 2),
+            F.format_string(
+                "Nod1=%d,%d,0\n", F.col("n_pts") - 1, F.col("chain_id") * 2 + 1
+            ),
+            F.lit("[END]\n"),
+        ).alias("mp"),
+    )

@@ -489,3 +489,31 @@ class TestGateBackedRenderParity:
                 "level_h": lvl_h,
             }
             assert row.mp == render_mp_polyline(data)
+
+    def test_road_sections_match_python_renderer(self, spark):
+        import __spark_entry__ as E
+        from osm2mp_spark.plans.sinks import render_mp_road
+        from osm2mp_spark.queries.spatial import lineitem_chain_points
+
+        got = (
+            E.queries()["mp_road_render"](spark, "/root/testdata/sf0.001")
+            .orderBy("chain_id").limit(4).toPandas()
+        )
+        pts = lineitem_chain_points(spark, "/root/testdata/sf0.001").toPandas()
+        for row in got.itertuples():
+            cid = int(row.chain_id)
+            sub = pts[pts.chain_id == cid].sort_values("seq")
+            data = {
+                "chain": list(zip(sub.lon, sub.lat)),
+                "road_id": cid,
+                "oneway": cid % 2,
+                "speed": cid % 141,
+                "road_class": cid % 5,
+                "toll": 1 if cid % 3 == 0 else 0,
+                "access_flags": "0,0,0,0,0,0,0,0",
+                "type": f"0x{2 + cid % 6:x}",
+                "name": f"road {cid}",
+                "level_l": 0,
+                "nod": [(0, cid * 2), (len(sub) - 1, cid * 2 + 1)],
+            }
+            assert row.mp == render_mp_road(data)
