@@ -464,3 +464,62 @@ class TestImageIngestStream:
         b = batch.sort_values("image_id").reset_index(drop=True)
         assert (a.image_id == b.image_id).all()
         assert (a.dhash == b.dhash).all()
+
+
+class TestSparkSubmitDeployment:
+    def test_py_files_submit_and_resume(self, tmp_path):
+        """The north rule's literal deployment shape: `spark-submit
+        --py-files osm2mp_spark.zip tools/run_job.py`, run from a cwd where
+        the repo is NOT importable (only --py-files can satisfy the
+        imports). First run writes all bucket manifests; a second run
+        resumes and rewrites none."""
+        import json
+        import os
+        import shutil
+        import subprocess
+
+        submit = shutil.which("spark-submit")
+        if submit is None:
+            import pytest
+
+            pytest.skip("spark-submit not on PATH")
+        from osm2mp_spark.shipping import build_zip
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        zip_path = build_zip(str(tmp_path / "osm2mp_spark.zip"))
+        out = str(tmp_path / "out")
+        env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+        env["SPARK_SUBMIT_OPTS"] = "-Dlog4j2.level=error"
+        cmd = [
+            submit, "--master", "local[4]", "--py-files", zip_path,
+            os.path.join(repo, "tools", "run_job.py"),
+            "--sf-dir", "/root/testdata/sf0.001", "--out", out,
+            "--buckets", "4",
+        ]
+        r = subprocess.run(
+            cmd, cwd=str(tmp_path), env=env, capture_output=True, text=True,
+            timeout=420,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+        stats = json.loads(line)
+        assert stats["written"] == 4 and stats["skipped"] == 0
+
+        manifest = os.path.join(out, "manifest")
+        mtimes = {
+            f: os.path.getmtime(os.path.join(manifest, f))
+            for f in os.listdir(manifest)
+            if f[:5].isdigit()  # bucket records (the dir also holds meta)
+        }
+        assert len(mtimes) == 4
+
+        r2 = subprocess.run(
+            cmd, cwd=str(tmp_path), env=env, capture_output=True, text=True,
+            timeout=420,
+        )
+        assert r2.returncode == 0, r2.stderr[-2000:]
+        line2 = [l for l in r2.stdout.splitlines() if l.startswith("{")][-1]
+        stats2 = json.loads(line2)
+        assert stats2["skipped"] == 4 and stats2["written"] == 0
+        for f, m in mtimes.items():
+            assert os.path.getmtime(os.path.join(manifest, f)) == m
