@@ -280,15 +280,11 @@ def dhash_images(df: DataFrame) -> DataFrame:
     )
 
 
-def phash_hamming_pairs(sigs: DataFrame, max_hamming: int = 6) -> DataFrame:
-    """Near-duplicate image pairs by banded Hamming equi-join over 64-bit
-    perceptual hashes: explode each signature into max_hamming+1 (band, key)
-    rows, equi-join on (band, key) — never a cartesian — then exact
-    popcount filter. The banding is lossless for the threshold
-    (hamming_band_layout), so output EQUALS the all-pairs join the DuckDB
-    oracle runs. At 10^12 rows the per-band bucket population is the knob:
-    ~9-bit bands suit the demo corpus; widen bands (lower threshold) or
-    pre-shard by a leading prefix for denser corpora."""
+def band_explode(sigs: DataFrame, max_hamming: int) -> DataFrame:
+    """(image_id, dhash) → one row per pigeonhole band:
+    (image_id, dhash, band, key). The single source of the banding used by
+    every Hamming join (pairs, ANN top-k) — tuning the layout here keeps
+    all consumers lossless together."""
     from pyspark.sql import functions as F
 
     bands = [
@@ -300,9 +296,23 @@ def phash_hamming_pairs(sigs: DataFrame, max_hamming: int = 6) -> DataFrame:
         )
         for i, (off, wd) in enumerate(hamming_band_layout(max_hamming))
     ]
-    e = sigs.select(
+    return sigs.select(
         "image_id", "dhash", F.explode(F.array(*bands)).alias("b")
     ).select("image_id", "dhash", "b.band", "b.key")
+
+
+def phash_hamming_pairs(sigs: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate image pairs by banded Hamming equi-join over 64-bit
+    perceptual hashes: explode each signature into max_hamming+1 (band, key)
+    rows, equi-join on (band, key) — never a cartesian — then exact
+    popcount filter. The banding is lossless for the threshold
+    (hamming_band_layout), so output EQUALS the all-pairs join the DuckDB
+    oracle runs. At 10^12 rows the per-band bucket population is the knob:
+    ~9-bit bands suit the demo corpus; widen bands (lower threshold) or
+    pre-shard by a leading prefix for denser corpora."""
+    from pyspark.sql import functions as F
+
+    e = band_explode(sigs, max_hamming)
     left = e.select(
         F.col("image_id").alias("id_a"), F.col("dhash").alias("ha"),
         "band", "key",

@@ -225,16 +225,17 @@ def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = small.mapInPandas(
         kernel, schema="image_id string, n_bytes long, mean_q6 long"
     )
-    # fmt carried via the deterministic id suffix rule (idx % 3), kept
-    # JVM-side so only tiny stats rows reach the aggregation
+    # fmt re-derived via the generator's own id rule (fmt = FMT_CHOICES
+    # [idx % 3]) — the CASE is BUILT from FMT_CHOICES so a reorder there
+    # can never silently mislabel these stats; kept JVM-side so only tiny
+    # stats rows reach the aggregation
+    from ..sources.images import FMT_CHOICES
+
+    fmt_case = "CASE CAST(substr(image_id, 4) AS BIGINT) % 3 " + " ".join(
+        f"WHEN {i} THEN '{f}'" for i, f in enumerate(FMT_CHOICES)
+    ) + " END"
     return (
-        stats.withColumn(
-            "fmt",
-            F.expr(
-                "CASE CAST(substr(image_id, 4) AS BIGINT) % 3 "
-                "WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'bmp' END"
-            ),
-        )
+        stats.withColumn("fmt", F.expr(fmt_case))
         .groupBy("fmt")
         .agg(
             F.count("*").alias("n"),
@@ -244,18 +245,25 @@ def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# corpus ids are 'pimg%09d' (+ 'd' for a planted near-dup), so they pack
-# losslessly into a bigint key: idx*2 + is_dup — min-key order equals
-# lexicographic id order, which makes the min-label keeper the min id.
+# corpus ids are 'pimg<digits>' (+ 'd'/'e' for planted near-dup variants),
+# so they pack losslessly into a bigint key: idx*4 + variant_code. The
+# digit run is parsed to its boundary (NOT a fixed width — f"{idx:09d}"
+# widens past 10^9 and a fixed substr would collide keys at the scales
+# this module claims). Min-key order is (idx, variant) order; at the
+# fixed-width demo scale that equals lexicographic id order, so the
+# min-label keeper is also the min id.
 def _img_key(col: str) -> str:
-    return (f"CAST(substr({col}, 5, 9) AS BIGINT) * 2 + "
-            f"CASE WHEN {col} LIKE '%d' THEN 1 ELSE 0 END")
+    return (f"CAST(regexp_extract({col}, '^pimg([0-9]+)', 1) AS BIGINT) * 4 "
+            f"+ CASE WHEN {col} LIKE '%d' THEN 1 "
+            f"WHEN {col} LIKE '%e' THEN 2 ELSE 0 END")
 
 
 def _img_unkey(col: str, engine: str) -> str:
     fmt = "printf" if engine == "duckdb" else "format_string"
-    return (f"concat({fmt}('pimg%09d', {col} {'//' if engine == 'duckdb' else 'DIV'} 2), "
-            f"CASE WHEN {col} % 2 = 1 THEN 'd' ELSE '' END)")
+    dv = "//" if engine == "duckdb" else "DIV"
+    return (f"concat({fmt}('pimg%09d', {col} {dv} 4), "
+            f"CASE WHEN {col} % 4 = 1 THEN 'd' "
+            f"WHEN {col} % 4 = 2 THEN 'e' ELSE '' END)")
 
 
 def _dhash_clusters_oracle(max_hamming: int = 6) -> str | None:
@@ -379,24 +387,13 @@ def image_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     image-payload face of the ANN family (ann_cosine_topk et al.)."""
     from pyspark.sql import Window
 
-    from ..operators.images import dhash_images, hamming_band_layout
+    from ..operators.images import band_explode, dhash_images
     from ..sources.images import generate_phash_corpus_df
 
     corpus = generate_phash_corpus_df(spark, _n_for(spark, sf_dir), variants=2)
     sigs = dhash_images(corpus).localCheckpoint(eager=False)
 
-    bands = [
-        F.struct(
-            F.lit(i).alias("band"),
-            F.shiftrightunsigned("dhash", off)
-            .bitwiseAND(F.lit((1 << wd) - 1))
-            .alias("key"),
-        )
-        for i, (off, wd) in enumerate(hamming_band_layout(6))
-    ]
-    e = sigs.select(
-        "image_id", "dhash", F.explode(F.array(*bands)).alias("b")
-    ).select("image_id", "dhash", "b.band", "b.key")
+    e = band_explode(sigs, max_hamming=6)
     qs = e.filter("image_id LIKE '%d' OR image_id LIKE '%e'").select(
         F.col("image_id").alias("query_id"), F.col("dhash").alias("qh"),
         "band", "key",

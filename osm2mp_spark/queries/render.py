@@ -5,12 +5,18 @@ held to golden-text pytest fixtures. These queries render the SAME sections
 entirely JVM-side (`format_string` / `concat_ws` / `transform` — whole-stage
 codegen, no Python in the hot path) with an exact DuckDB `printf` oracle, so
 the text-output surface gets rows+schema+hash gate coverage like every other
-operator. Cross-engine float formatting is safe here: `%.5f` ties are
-impossible for binary doubles (a tie needs a factor 5^6 denominator), and
-0/200k coordinate-grid values disagreed between Java's Formatter and C
-printf when measured. A pytest additionally pins each rendered string to
-the plans.sinks Python renderer, so the gate transitively covers the sink
-format too (reference: osm2mp.pl output templates, cfg/output-polish.yml).
+operator. Cross-engine float formatting safety is a property of THIS
+coordinate grid, not of doubles in general: Java's Formatter (HALF_UP)
+and C printf (half-even) DO diverge on exact .5 ties at 5 decimals, which
+exist for doubles of the form odd/2^k ≤ 6 fractional bits (measured:
+1/64 → '0.01563' Java vs '0.01562' C). The derived k/1e-4 coordinate grid
+can never produce such values (odd/64 · 10^4 is never an integer, and the
+non-dyadic grid points round to full-mantissa doubles), and 0/200k grid
+values disagreed when measured. Do NOT reuse %.5f cross-engine for other
+value families (e.g. the raster extents: 0.703125 = 45/64 IS a tie).
+A pytest additionally pins each rendered string to the plans.sinks Python
+renderer, so the gate transitively covers the sink format too (reference:
+osm2mp.pl output templates, cfg/output-polish.yml).
 """
 
 from __future__ import annotations
@@ -65,22 +71,63 @@ def mp_poi_render(spark: SparkSession, sf_dir: str) -> DataFrame:
 # [POLYLINE] rendering: chains assembled from the lineitem fact table (the
 # same ordered-chain shape as clip_chains), Data0 as the comma-joined
 # (lat,lon) run, then the _common_fields sequence EndLevel? -> Type -> Label.
+# The chain assembly (Spark aggregation AND oracle CTE) is shared between
+# the polyline and road renderers — a formatting or seq-ordering fix lands
+# in exactly one place per engine.
 _PL_TYPE = "CAST(2 + chain_id % 6 AS INT)"
 _PL_ENDLEVEL = "CAST(chain_id % 4 AS INT)"
 
 
-@register(
-    "mp_polyline_render",
-    oracle=f"""
-WITH pts AS (
+def _chains_cte(with_count: bool = False) -> str:
+    """Oracle-side chain assembly: pts + chains CTEs (DuckDB)."""
+    n = ",\n         COUNT(*) AS n_pts" if with_count else ""
+    return f"""pts AS (
   SELECT CAST(l_orderkey AS BIGINT) AS chain_id, {_SEQ} AS seq,
          {derived_lon_sql(_VKEY)} AS lon, {derived_lat_sql(_VKEY)} AS lat
   FROM lineitem),
 chains AS (
   SELECT chain_id,
          array_to_string(LIST(printf('(%.5f,%.5f)', lat, lon) ORDER BY seq),
-                         ',') AS data0
-  FROM pts GROUP BY chain_id)
+                         ',') AS data0{n}
+  FROM pts GROUP BY chain_id)"""
+
+
+def _spark_chains(spark: SparkSession, sf_dir: str,
+                  with_count: bool = False) -> DataFrame:
+    """Spark-side chain assembly: (chain_id, data0[, n_pts]) — sort_array
+    over (seq, rendered-point) structs, one shuffle, no window."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").cast("bigint").alias("chain_id"),
+        F.expr(_SEQ).alias("seq"),
+        F.expr(_VKEY).alias("__vkey"),
+    )
+    pts = with_derived_position(li, "__vkey")
+    aggs = [
+        F.expr(
+            "concat_ws(',', transform(sort_array(collect_list(p)), x -> x.txt))"
+        ).alias("data0")
+    ]
+    if with_count:
+        aggs.append(F.count("*").alias("n_pts"))
+    return (
+        pts.select(
+            "chain_id",
+            F.struct(
+                F.col("seq"),
+                F.format_string(
+                    "(%.5f,%.5f)", F.col("lat"), F.col("lon")
+                ).alias("txt"),
+            ).alias("p"),
+        )
+        .groupBy("chain_id")
+        .agg(*aggs)
+    )
+
+
+@register(
+    "mp_polyline_render",
+    oracle=f"""
+WITH {_chains_cte()}
 SELECT chain_id,
        '[POLYLINE]' || chr(10) || 'Data0=' || data0 || chr(10)
        || CASE WHEN {_PL_ENDLEVEL} > 0
@@ -98,28 +145,7 @@ def mp_polyline_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     render_mp_polyline. All string assembly stays JVM-side; at 10^12 rows
     the render is embarrassingly parallel and the only exchange is the
     per-chain groupBy."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        F.col("l_orderkey").cast("bigint").alias("chain_id"),
-        F.expr(_SEQ).alias("seq"),
-        F.expr(_VKEY).alias("__vkey"),
-    )
-    pts = with_derived_position(li, "__vkey")
-    chains = (
-        pts.select(
-            "chain_id",
-            F.struct(
-                F.col("seq"),
-                F.format_string("(%.5f,%.5f)", F.col("lat"), F.col("lon")).alias(
-                    "txt"
-                ),
-            ).alias("p"),
-        )
-        .groupBy("chain_id")
-        .agg(
-            F.expr("concat_ws(',', transform(sort_array(collect_list(p)), x -> x.txt))")
-            .alias("data0")
-        )
-    )
+    chains = _spark_chains(spark, sf_dir)
     return chains.select(
         "chain_id",
         F.concat(
@@ -154,16 +180,7 @@ _SPEED_CODE = """CASE WHEN spd >= 120 THEN 7 WHEN spd >= 100 THEN 6
 @register(
     "mp_road_render",
     oracle=f"""
-WITH pts AS (
-  SELECT CAST(l_orderkey AS BIGINT) AS chain_id, {_SEQ} AS seq,
-         {derived_lon_sql(_VKEY)} AS lon, {derived_lat_sql(_VKEY)} AS lat
-  FROM lineitem),
-chains AS (
-  SELECT chain_id,
-         array_to_string(LIST(printf('(%.5f,%.5f)', lat, lon) ORDER BY seq),
-                         ',') AS data0,
-         COUNT(*) AS n_pts
-  FROM pts GROUP BY chain_id),
+WITH {_chains_cte(with_count=True)},
 attrs AS (
   SELECT chain_id, data0, n_pts, {_RD_SPEED} AS spd FROM chains)
 SELECT chain_id,
@@ -187,30 +204,8 @@ def mp_road_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     DirIndicator (oneway only), RouteParams with the Garmin speed-class
     CASE, Type/Label, and Nod lines binding the chain's first/last
     positions to routing node ids — all JVM-side, one groupBy."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        F.col("l_orderkey").cast("bigint").alias("chain_id"),
-        F.expr(_SEQ).alias("seq"),
-        F.expr(_VKEY).alias("__vkey"),
-    )
-    pts = with_derived_position(li, "__vkey")
-    chains = (
-        pts.select(
-            "chain_id",
-            F.struct(
-                F.col("seq"),
-                F.format_string("(%.5f,%.5f)", F.col("lat"), F.col("lon")).alias(
-                    "txt"
-                ),
-            ).alias("p"),
-        )
-        .groupBy("chain_id")
-        .agg(
-            F.expr(
-                "concat_ws(',', transform(sort_array(collect_list(p)), x -> x.txt))"
-            ).alias("data0"),
-            F.count("*").alias("n_pts"),
-        )
-        .withColumn("spd", F.expr(_RD_SPEED))
+    chains = _spark_chains(spark, sf_dir, with_count=True).withColumn(
+        "spd", F.expr(_RD_SPEED)
     )
     return chains.select(
         "chain_id",
