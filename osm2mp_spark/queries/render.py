@@ -230,3 +230,148 @@ def mp_road_render(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("[END]\n"),
         ).alias("mp"),
     )
+
+
+# [POLYGON] rendering (render_mp_polygon twin): one Data line per contour
+# (outer ring; every 4th polygon also a hole), Type/Label, EntryPoint
+# lines (J7 entrances) for every 5th polygon. Ring vertices derive from
+# shifted part keys through the shared exact point generator, so each
+# vertex is bit-identical cross-engine.
+def _ring_pts(key: str, offs: list[int]) -> list[tuple[str, str]]:
+    return [
+        (derived_lon_sql(f"({key} + {o})"), derived_lat_sql(f"({key} + {o})"))
+        for o in offs
+    ]
+
+
+def _ring_sql(key: str, offs: list[int]) -> str:
+    """Closed-ring Data body: derived vertices, first repeated last."""
+    pts = _ring_pts(key, offs)
+    pts = pts + [pts[0]]
+    return " || ',' || ".join(
+        f"printf('(%.5f,%.5f)', {lat}, {lon})" for lon, lat in pts
+    )
+
+
+_PG_OUTER = [0, 210000, 420000, 630000]
+_PG_HOLE = [70000, 140000, 280000]
+
+
+@register(
+    "mp_polygon_render",
+    oracle=f"""
+WITH polys AS (
+  SELECT CAST(p_partkey AS BIGINT) AS poly_id FROM part)
+SELECT poly_id,
+       '[POLYGON]' || chr(10)
+       || 'Data0=' || {_ring_sql('poly_id', _PG_OUTER)} || chr(10)
+       || CASE WHEN poly_id % 4 = 0
+               THEN 'Data0=' || {_ring_sql('poly_id', _PG_HOLE)} || chr(10)
+               ELSE '' END
+       || printf('Type=0x%x', CAST(19 + poly_id % 3 AS INT)) || chr(10)
+       || printf('Label=area %d', poly_id) || chr(10)
+       || CASE WHEN poly_id % 5 = 0
+               THEN printf('EntryPoint=(%.5f,%.5f),1',
+                           {derived_lat_sql('poly_id')},
+                           {derived_lon_sql('poly_id')}) || chr(10)
+               ELSE '' END
+       || '[END]' || chr(10) AS mp
+FROM polys
+""",
+)
+def mp_polygon_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 — [POLYGON] sections: one Data0 line per contour (outer ring +
+    conditional hole), Type/Label, conditional EntryPoint — the full
+    multi-contour layout of plans.sinks.render_mp_polygon, rendered
+    row-wise in codegen (no shuffle at all: contours derive from the
+    polygon's own key)."""
+    polys = spark.read.parquet(f"{sf_dir}/part.parquet").selectExpr(
+        "CAST(p_partkey AS BIGINT) AS poly_id"
+    )
+    return polys.selectExpr(
+        "poly_id",
+        f"""concat(
+  '[POLYGON]\n',
+  'Data0=', {_ring_sql('poly_id', _PG_OUTER)}, '\n',
+  CASE WHEN poly_id % 4 = 0
+       THEN concat('Data0=', {_ring_sql('poly_id', _PG_HOLE)}, '\n')
+       ELSE '' END,
+  format_string('Type=0x%x\n', CAST(19 + poly_id % 3 AS INT)),
+  format_string('Label=area %d\n', poly_id),
+  CASE WHEN poly_id % 5 = 0
+       THEN format_string('EntryPoint=(%.5f,%.5f),1\n',
+                          {derived_lat_sql('poly_id')},
+                          {derived_lon_sql('poly_id')})
+       ELSE '' END,
+  '[END]\n') AS mp""",
+    )
+
+
+# [Restrict] / [Sign] sections (render_mp_restriction / _destination_sign
+# twins): node and road ids derive from the order key; RestrParam only for
+# every 4th restriction, SignParam carries the exit label.
+@register(
+    "mp_restriction_render",
+    oracle=f"""
+SELECT CAST(o_orderkey AS BIGINT) AS rel_id,
+       '[Restrict]' || chr(10)
+       || printf('TraffPoints=%d,%d,%d', o_orderkey * 3, o_orderkey * 3 + 1,
+                 o_orderkey * 3 + 2) || chr(10)
+       || printf('TraffRoads=%d,%d', o_orderkey * 2, o_orderkey * 2 + 1)
+       || chr(10)
+       || CASE WHEN o_orderkey % 4 = 0
+               THEN 'RestrParam=0,1,1,1' || chr(10) ELSE '' END
+       || '[END-Restrict]' || chr(10) AS mp
+FROM orders WHERE o_orderkey % 10 = 0
+""",
+)
+def mp_restriction_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 — [Restrict] sections (turn restrictions J11/I5-I7 feed the
+    sink this renders): TraffPoints/TraffRoads id lines + conditional
+    vehicle-mask RestrParam."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        "o_orderkey % 10 = 0"
+    )
+    return o.selectExpr(
+        "CAST(o_orderkey AS BIGINT) AS rel_id",
+        """concat(
+  '[Restrict]\n',
+  format_string('TraffPoints=%d,%d,%d\n', o_orderkey * 3,
+                o_orderkey * 3 + 1, o_orderkey * 3 + 2),
+  format_string('TraffRoads=%d,%d\n', o_orderkey * 2, o_orderkey * 2 + 1),
+  CASE WHEN o_orderkey % 4 = 0 THEN 'RestrParam=0,1,1,1\n' ELSE '' END,
+  '[END-Restrict]\n') AS mp""",
+    )
+
+
+@register(
+    "mp_sign_render",
+    oracle=f"""
+SELECT CAST(o_orderkey AS BIGINT) AS rel_id,
+       '[Sign]' || chr(10)
+       || printf('SignPoints=%d,%d,%d', o_orderkey * 3, o_orderkey * 3 + 1,
+                 o_orderkey * 3 + 2) || chr(10)
+       || printf('SignRoads=%d,%d', o_orderkey * 2, o_orderkey * 2 + 1)
+       || chr(10)
+       || printf('SignParam=T,exit %d', CAST(o_orderkey % 50 AS INT))
+       || chr(10)
+       || '[END-Sign]' || chr(10) AS mp
+FROM orders WHERE o_orderkey % 15 = 0
+""",
+)
+def mp_sign_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 — destination-sign [Sign] sections with the exit-label
+    SignParam."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        "o_orderkey % 15 = 0"
+    )
+    return o.selectExpr(
+        "CAST(o_orderkey AS BIGINT) AS rel_id",
+        """concat(
+  '[Sign]\n',
+  format_string('SignPoints=%d,%d,%d\n', o_orderkey * 3,
+                o_orderkey * 3 + 1, o_orderkey * 3 + 2),
+  format_string('SignRoads=%d,%d\n', o_orderkey * 2, o_orderkey * 2 + 1),
+  format_string('SignParam=T,exit %d\n', CAST(o_orderkey % 50 AS INT)),
+  '[END-Sign]\n') AS mp""",
+    )

@@ -517,3 +517,64 @@ class TestGateBackedRenderParity:
                 "nod": [(0, cid * 2), (len(sub) - 1, cid * 2 + 1)],
             }
             assert row.mp == render_mp_road(data)
+
+    def test_polygon_restriction_sign_match_python_renderer(self, spark):
+        import numpy as np
+
+        import __spark_entry__ as E
+        from osm2mp_spark.plans.sinks import (
+            render_mp_destination_sign,
+            render_mp_polygon,
+            render_mp_restriction,
+        )
+        from osm2mp_spark.queries.render import _PG_HOLE, _PG_OUTER
+        from osm2mp_spark.sources.points import derived_points_np
+
+        sf = "/root/testdata/sf0.001"
+
+        def ring(pid, offs):
+            lon, lat = derived_points_np(np.array([pid + o for o in offs]))
+            pts = list(zip(lon, lat))
+            return pts + [pts[0]]
+
+        got = (E.queries()["mp_polygon_render"](spark, sf)
+               .orderBy("poly_id").limit(6).toPandas())
+        for r in got.itertuples():
+            pid = int(r.poly_id)
+            contours = [ring(pid, _PG_OUTER)]
+            if pid % 4 == 0:
+                contours.append(ring(pid, _PG_HOLE))
+            lon, lat = derived_points_np(np.array([pid]))
+            data = {
+                "contours": contours,
+                "type": f"0x{19 + pid % 3:x}",
+                "name": f"area {pid}",
+                "level_l": 0,
+                "entrance": (
+                    [((float(lon[0]), float(lat[0])), 1)]
+                    if pid % 5 == 0 else None
+                ),
+            }
+            assert r.mp == render_mp_polygon(data)
+
+        got = (E.queries()["mp_restriction_render"](spark, sf)
+               .orderBy("rel_id").limit(5).toPandas())
+        for r in got.itertuples():
+            k = int(r.rel_id)
+            opts = {
+                "node_from": k * 3, "node_via": k * 3 + 1, "node_to": k * 3 + 2,
+                "road_from": k * 2, "road_to": k * 2 + 1,
+                "param": "0,1,1,1" if k % 4 == 0 else None,
+            }
+            assert r.mp == render_mp_restriction(opts)
+
+        got = (E.queries()["mp_sign_render"](spark, sf)
+               .orderBy("rel_id").limit(5).toPandas())
+        for r in got.itertuples():
+            k = int(r.rel_id)
+            opts = {
+                "node_from": k * 3, "node_via": k * 3 + 1, "node_to": k * 3 + 2,
+                "road_from": k * 2, "road_to": k * 2 + 1,
+                "param": f"T,exit {k % 50}",
+            }
+            assert r.mp == render_mp_destination_sign(opts)
