@@ -435,3 +435,98 @@ def rings_from_segments(segs: DataFrame) -> DataFrame:
         "CAST(ring AS INT) AS ring_id", "n_segs",
         "x_min", "x_max", "y_min", "y_max",
     )
+
+
+# ---------------------------------------------------------------------------
+# Nested multi-level contours — the raster face of G6 contour nesting:
+# marching squares at several occupancy thresholds at once (level 0 = the
+# sparse outline, level 1 = the dense cores, nested inside it). One raster
+# pass feeds every level; the level rides the cell key through the same
+# scatter → groupBy → case-dimension pipeline.
+# ---------------------------------------------------------------------------
+
+_CONTOUR_LEVELS = ((0, _T), (1, 8))
+
+
+def contours_from_leveled_occupancy(occ: DataFrame) -> DataFrame:
+    """(level, gy, gx) occupied pixels → marching-squares segments per
+    level (same algorithm as contours_from_occupancy with the level carried
+    through the cell key)."""
+    spark = occ.sparkSession
+    cells = (
+        occ.selectExpr(
+            "level", "gy", "gx",
+            "explode(array(struct(0 AS dy, 0 AS dx, 1 AS bit), "
+            "              struct(0 AS dy, 1 AS dx, 2 AS bit), "
+            "              struct(1 AS dy, 0 AS dx, 4 AS bit), "
+            "              struct(1 AS dy, 1 AS dx, 8 AS bit))) AS o",
+        )
+        .selectExpr("level", "gy - o.dy AS cy", "gx - o.dx AS cx", "o.bit AS bit")
+        .groupBy("level", "cy", "cx")
+        .agg(F.sum("bit").cast("int").alias("case_id"))
+    )
+    seg_dim = spark.createDataFrame(
+        _MS_SEGMENTS, "case_id int, seg int, ax int, ay int, bx int, by int"
+    )
+    return (
+        cells.join(F.broadcast(seg_dim), "case_id")
+        .selectExpr(
+            "level", "cy", "cx", "case_id", "seg",
+            "CAST(2 * cx + ax AS INT) AS x0", "CAST(2 * cy + ay AS INT) AS y0",
+            "CAST(2 * cx + bx AS INT) AS x1", "CAST(2 * cy + by AS INT) AS y1",
+        )
+    )
+
+
+@register(
+    "raster_contours_nested",
+    oracle=f"""
+WITH pts AS (SELECT {derived_lon_sql(_VKEY)} AS lon, {derived_lat_sql(_VKEY)} AS lat
+             FROM lineitem),
+px AS (
+  SELECT {_gy_sql('lat')} AS gy, {_gx_sql('lon')} AS gx, COUNT(*) AS n
+  FROM pts GROUP BY 1, 2),
+lvls(level, thr) AS (VALUES {', '.join(f'({l}, {t})' for l, t in _CONTOUR_LEVELS)}),
+occ AS (
+  SELECT l.level, p.gy, p.gx FROM px p CROSS JOIN lvls l WHERE p.n >= l.thr),
+offs(dy, dx) AS (VALUES (0, 0), (0, 1), (1, 0), (1, 1)),
+cells AS (
+  SELECT level, gy - dy AS cy, gx - dx AS cx,
+         CAST(SUM(CASE WHEN dy = 0 AND dx = 0 THEN 1
+                       WHEN dy = 0 AND dx = 1 THEN 2
+                       WHEN dy = 1 AND dx = 0 THEN 4
+                       ELSE 8 END) AS INT) AS case_id
+  FROM occ CROSS JOIN offs GROUP BY 1, 2, 3),
+ms(case_id, seg, ax, ay, bx, by) AS (VALUES {_MS_VALUES})
+SELECT c.level, c.cy, c.cx, c.case_id, s.seg,
+       CAST(2 * c.cx + s.ax AS INT) AS x0, CAST(2 * c.cy + s.ay AS INT) AS y0,
+       CAST(2 * c.cx + s.bx AS INT) AS x1, CAST(2 * c.cy + s.by AS INT) AS y1
+FROM cells c JOIN ms s ON c.case_id = s.case_id
+""",
+)
+def raster_contours_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level contour extraction: marching squares at occupancy
+    thresholds {thr} per level from ONE raster aggregation — level 1's
+    dense-core contours nest inside level 0's outline (the raster twin of
+    the reference's contour-nesting semantics, G6). The pixel-count
+    groupBy runs once; each level filters the (≤65k-row) checkpointed
+    counts, so the point-scale scan is never repeated."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+        f"{derived_lon_sql(_VKEY)} AS lon", f"{derived_lat_sql(_VKEY)} AS lat"
+    )
+    counts = (
+        li.selectExpr(f"{_gy_sql('lat')} AS gy", f"{_gx_sql('lon')} AS gx")
+        .groupBy("gy", "gx")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)  # one consumer per level — scan once
+    )
+    levels = [
+        counts.filter(F.col("n") >= thr).select(
+            F.lit(level).alias("level"), "gy", "gx"
+        )
+        for level, thr in _CONTOUR_LEVELS
+    ]
+    occ = levels[0]
+    for more in levels[1:]:
+        occ = occ.unionByName(more)
+    return contours_from_leveled_occupancy(occ)

@@ -373,3 +373,28 @@ class TestRasterVector:
         kids = l12.groupby("parent").n_points.sum()
         l8 = df[df.level == 8].set_index("cell_id").n_points
         assert (kids == l8.loc[kids.index]).all()
+
+    def test_nested_contours_hand_fixture(self, spark):
+        """A dense core (n=9) inside a sparse 3x3 block (n=3): level 0
+        contours the whole block, level 1 only the core — and the level-1
+        ring nests strictly inside the level-0 ring."""
+        from osm2mp_spark.queries.raster import contours_from_leveled_occupancy
+
+        rows = []
+        for gy in range(10, 13):
+            for gx in range(10, 13):
+                n = 9 if (gy, gx) == (11, 11) else 3
+                for level, thr in ((0, 2), (1, 8)):
+                    if n >= thr:
+                        rows.append((level, gy, gx))
+        occ = spark.createDataFrame(rows, "level int, gy int, gx int")
+        segs = contours_from_leveled_occupancy(occ).toPandas()
+        l0 = segs[segs.level == 0]
+        l1 = segs[segs.level == 1]
+        assert len(l1) == 4  # single-pixel diamond around the core
+        assert len(l0) > len(l1)
+        # strict nesting: the level-1 ring's bbox sits inside level-0's
+        assert l1[["x0", "x1"]].values.min() > l0[["x0", "x1"]].values.min()
+        assert l1[["x0", "x1"]].values.max() < l0[["x0", "x1"]].values.max()
+        assert l1[["y0", "y1"]].values.min() > l0[["y0", "y1"]].values.min()
+        assert l1[["y0", "y1"]].values.max() < l0[["y0", "y1"]].values.max()
