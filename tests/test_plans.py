@@ -158,3 +158,39 @@ class TestRound3PlanShapes:
         p = plan_of(E.queries()["image_spatial_join"](spark, sf_dir))
         assert "Join" not in p
         assert p.count("MapInPandas") == 2  # generate, then decode+features
+
+
+class TestLateRound3PlanShapes:
+    """Pin the plan shapes of the session's new operator families."""
+
+    def test_image_ann_topk_banded_broadcast_no_cartesian(self, spark, sf_dir):
+        """The query set reaches the corpus only through the (band, key)
+        broadcast equi-join — an inequality-only pair join would plan as a
+        cartesian/nested loop over corpus x corpus."""
+        import __spark_entry__ as E
+
+        p = plan_of(E.queries()["image_ann_topk"](spark, sf_dir))
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert p.count("BroadcastHashJoin") == 1
+
+    def test_cell_rollup_one_pass_all_levels(self, spark, sf_dir):
+        """All four resolution levels come from ONE shuffle: grouping-set
+        Expand + map-side partial aggregation, single Exchange."""
+        import __spark_entry__ as E
+
+        p = plan_of(E.queries()["cell_rollup"](spark, sf_dir))
+        assert "Expand" in p
+        assert p.count("Exchange") == 1
+        assert "partial_count" in p
+
+    def test_render_chain_queries_single_shuffle(self, spark, sf_dir):
+        """The chain renderers aggregate per chain with map-side partial
+        aggregation and exactly one Exchange — no window, no join."""
+        import __spark_entry__ as E
+
+        for name in ("mp_polyline_render", "mp_road_render"):
+            p = plan_of(E.queries()[name](spark, sf_dir))
+            assert p.count("Exchange") == 1, name
+            assert "Join" not in p, name
+            assert "Window" not in p, name
