@@ -49,9 +49,16 @@ def _gate_priority_order(names: list[str]) -> list[str]:
     (VERDICT r02 follow-up — 26/76 queries were never gate-checked)."""
     import glob
     import json
+    import re
+
+    def round_no(p: str) -> int:
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
 
     seen: set[str] = set()
-    artifacts = sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")))
+    artifacts = sorted(
+        glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")), key=round_no
+    )
     if artifacts:
         try:
             with open(artifacts[-1]) as f:

@@ -390,7 +390,10 @@ def image_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.images import band_explode, dhash_images
     from ..sources.images import generate_phash_corpus_df
 
-    corpus = generate_phash_corpus_df(spark, _n_for(spark, sf_dir), variants=2)
+    from ..plans.hints import maybe_broadcast
+
+    n = _n_for(spark, sf_dir)
+    corpus = generate_phash_corpus_df(spark, n, variants=2)
     sigs = dhash_images(corpus).localCheckpoint(eager=False)
 
     e = band_explode(sigs, max_hamming=6)
@@ -398,8 +401,10 @@ def image_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("image_id").alias("query_id"), F.col("dhash").alias("qh"),
         "band", "key",
     )
+    # The query side is corpus-derived (~2/7 of images × 7 band rows), so
+    # the broadcast must be size-gated: est rows = 2n upper bound.
     cand = (
-        F.broadcast(qs).join(
+        maybe_broadcast(qs, est_rows=2 * n).join(
             e.select(
                 F.col("image_id").alias("neighbor_id"),
                 F.col("dhash").alias("nh"), "band", "key",

@@ -283,9 +283,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"),
         F.col("nrm").alias("nb"),
     )
+    # The norms frame is CORPUS-sized (one row per vector), so the lookback
+    # broadcast must be size-gated: parquet-footer count is a metadata-only
+    # job, and past the ceiling the planner shuffles instead (sort-merge on
+    # vec_id — the candidate side is already shuffled by the distinct).
+    from ..plans.hints import maybe_broadcast
+
+    n_vec = _emb(spark, sf_dir).count()
     pairs = (
-        cand.join(F.broadcast(na), "vec_a")
-        .join(F.broadcast(nb), "vec_b")
+        cand.join(maybe_broadcast(na, est_rows=n_vec), "vec_a")
+        .join(maybe_broadcast(nb, est_rows=n_vec), "vec_b")
         .select(
             "vec_a",
             "vec_b",

@@ -48,7 +48,13 @@ def osm_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'name', concat('node ', CAST(o_orderkey AS STRING))"
         ") END AS tags",
     )
-    path = f"/tmp/osm_xml_rt_{os.path.basename(os.path.normpath(sf_dir))}"
+    # Unique per Spark application: two concurrent runs against the same
+    # sf dir (driver gate + local mirror, parallel pytest) must not race on
+    # overwrite-while-read of a shared fixed path.
+    app_id = spark.sparkContext.applicationId
+    path = (
+        f"/tmp/osm_xml_rt_{os.path.basename(os.path.normpath(sf_dir))}_{app_id}"
+    )
     write_osm_xml_nodes(nodes, path)
     parsed = read_osm_nodes(spark, path)
     return parsed.select(

@@ -134,14 +134,23 @@ def write_osm_xml_nodes(nodes: DataFrame, path: str) -> None:
     ensure_shipped(nodes.sparkSession)
 
     def render(it):
+        # Drain EVERY Arrow batch of the partition into ONE document: a
+        # partition larger than arrow.maxRecordsPerBatch arrives as several
+        # batches, and emitting one <osm> doc per batch would concatenate
+        # multiple documents into one text-sink file — which the wholetext
+        # reader (one document per file) cannot parse.
+        parts = []
         for pdf in it:
-            body = "".join(
-                render_node(r.node_id, r.lon, r.lat, r.tags)
-                for r in pdf.itertuples()
+            parts.append(
+                "".join(
+                    render_node(r.node_id, r.lon, r.lat, r.tags)
+                    for r in pdf.itertuples()
+                )
             )
-            yield pd.DataFrame(
-                {"value": [f"<?xml version='1.0'?><osm version=\"0.6\">{body}</osm>"]}
-            )
+        body = "".join(parts)
+        yield pd.DataFrame(
+            {"value": [f"<?xml version='1.0'?><osm version=\"0.6\">{body}</osm>"]}
+        )
 
     nodes.select("node_id", "lon", "lat", "tags").mapInPandas(
         render, "value string"

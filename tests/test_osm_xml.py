@@ -91,3 +91,37 @@ class TestOsmXmlSource:
         assert back[8].lon == -179.99999999999997
         assert back[8].lat == 89.999999999999986
         assert back[7].tags["name"] == 'Quote " <amp> & done'
+
+    def test_write_multi_arrow_batch_partition(self, spark, tmp_path):
+        """A partition larger than arrow.maxRecordsPerBatch arrives at the
+        writer as SEVERAL Arrow batches; the sink must still emit ONE
+        well-formed document per partition (ADVICE r03: two docs
+        newline-glued in one file broke the wholetext reader)."""
+        from pyspark.sql import functions as F
+
+        from osm2mp_spark.sources.osm_xml import (
+            read_osm_nodes,
+            write_osm_xml_nodes,
+        )
+
+        key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        old = spark.conf.get(key)
+        spark.conf.set(key, "50")
+        try:
+            df = (
+                spark.range(0, 400)  # 400 rows, 2 partitions → 8 batches each
+                .repartition(2)
+                .select(
+                    F.col("id").alias("node_id"),
+                    (F.col("id") * 0.001).alias("lon"),
+                    (F.col("id") * -0.002).alias("lat"),
+                    F.expr("map('n', CAST(id AS STRING))").alias("tags"),
+                )
+            )
+            out = str(tmp_path / "multibatch")
+            write_osm_xml_nodes(df, out)
+            back = read_osm_nodes(spark, out)
+            assert back.count() == 400
+            assert back.select("node_id").distinct().count() == 400
+        finally:
+            spark.conf.set(key, old)
