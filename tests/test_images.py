@@ -424,3 +424,108 @@ class TestPhashDedup:
             base = qid[:-1]
             assert set(grp.neighbor_id) <= {base, base + "d", base + "e"}
             assert base in set(grp.neighbor_id)  # the original always found
+
+
+class TestWideSignatures:
+    """256-bit wide signature family (image_dhash_wide / image_dedup_wide /
+    image_ann_topk_wide) — the at-scale Hamming configuration."""
+
+    def test_wide_pigeonhole_lossless_to_7(self):
+        """Any pair of 256-bit signatures within Hamming <= 7 shares at
+        least one of the 8 word-aligned 32-bit band keys — fuzzed over
+        random signatures and random <=7 flips spread across all 4 words."""
+        rng = np.random.default_rng(7)
+
+        def keys(words):
+            out = []
+            for w in words:
+                u = int(w) & ((1 << 64) - 1)
+                out += [u >> 32, u & 0xFFFFFFFF]
+            return out
+
+        for _ in range(500):
+            a = [int(x) for x in rng.integers(0, 2**63, size=4)]
+            b = list(a)
+            for f in rng.choice(256, size=int(rng.integers(0, 8)),
+                                replace=False):
+                b[f // 64] ^= 1 << int(f % 64)
+            assert any(ka == kb for ka, kb in zip(keys(a), keys(b)))
+
+    def test_wide_corpus_separation(self):
+        """Planted dups within 7/256 bits; unrelated far outside (>= 64) —
+        the margin that makes threshold tuning safe at scale."""
+        from osm2mp_spark.operators.images import wide_signature
+        from osm2mp_spark.sources.images import phash_corpus_row
+
+        def sig(row):
+            return wide_signature(decode(bytes(row["bytes"]), row["fmt"]))
+
+        def ham(a, b):
+            return sum(bin((x ^ y) & ((1 << 64) - 1)).count("1")
+                       for x, y in zip(a, b))
+
+        sigs = {}
+        for i in range(0, 28, 7):
+            a = sig(phash_corpus_row(i, dup=False))
+            d = sig(phash_corpus_row(i, dup=True))
+            assert ham(a, d) <= 7, f"dup {i} at {ham(a, d)}"
+            sigs[i] = a
+        ids = list(sigs)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                assert ham(sigs[ids[i]], sigs[ids[j]]) >= 64
+
+    def test_spark_wide_pairs_exactly_planted(self, spark):
+        """Banded wide join returns exactly the planted pairs, no
+        cartesian, and agrees with the brute-force 4-word popcount join."""
+        from osm2mp_spark.operators.images import (
+            dhash_wide_images,
+            wide_hamming_pairs,
+        )
+        from osm2mp_spark.sources.images import generate_phash_corpus_df
+
+        sigs = dhash_wide_images(
+            generate_phash_corpus_df(spark, 35, dup_every=7)
+        ).localCheckpoint(eager=False)
+        pairs_df = wide_hamming_pairs(sigs, max_hamming=7)
+        plan = pairs_df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        got = pairs_df.toPandas().sort_values("id_a").reset_index(drop=True)
+        assert list(got.id_a) == [f"pimg{i:09d}" for i in range(0, 35, 7)]
+        assert (got.id_b == got.id_a + "d").all()
+        # brute force over the collected signature table must agree exactly
+        import itertools
+
+        rows = sigs.collect()
+        brute = set()
+        for a, b in itertools.combinations(sorted(rows, key=lambda r: r.image_id), 2):
+            d = sum(bin((getattr(a, w) ^ getattr(b, w)) & ((1 << 64) - 1)).count("1")
+                    for w in ("h0", "h1", "h2", "h3"))
+            if d <= 7:
+                brute.add((a.image_id, b.image_id, d))
+        assert set(map(tuple, got.itertuples(index=False))) == brute
+
+    def test_wide_band_keys_word_aligned(self, spark):
+        """wide_band_explode emits 8 rows per signature whose keys
+        reassemble the original words (hi<<32|lo) — the extraction is
+        lossless and stays in JVM codegen (no Python eval in the plan)."""
+        from osm2mp_spark.operators.images import (
+            dhash_wide_images,
+            wide_band_explode,
+        )
+        from osm2mp_spark.sources.images import generate_phash_corpus_df
+
+        sigs = dhash_wide_images(generate_phash_corpus_df(spark, 5))
+        e = wide_band_explode(sigs)
+        plan = e._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        pdf = e.toPandas()
+        assert len(pdf) == 6 * 8  # 5 originals + the idx-0 planted dup
+        for (img, word), grp in pdf.groupby(
+            [pdf.image_id, pdf.band // 2]
+        ):
+            hi = int(grp[grp.band % 2 == 0].key.iloc[0])
+            lo = int(grp[grp.band % 2 == 1].key.iloc[0])
+            v = (hi << 32) | lo
+            v -= (v & (1 << 63)) << 1
+            assert v == int(grp[f"h{word}"].iloc[0])
