@@ -44,3 +44,49 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     event time; the stateful-streaming twin (applyInPandasWithState) is
     equivalence-tested in tests/test_checkpoint_streaming.py."""
     return sessionize_batch(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _incremental_dedup_oracle() -> str | None:
+    # Identical oracle to image_dedup_wide: the incremental streaming union
+    # must equal the one-shot batch join (see streaming.dedup docstring).
+    from .images_q import _wide_pairs_oracle
+
+    return _wide_pairs_oracle()
+
+
+@register("streaming_incremental_dedup", oracle=_incremental_dedup_oracle())
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest composed with incremental dedup: the dedup corpus
+    lands as parquet FILES, a foreachBatch stream (availableNow, one file
+    per micro-batch) hashes each batch and banded-joins it against the
+    accumulated signature store — duplicates surface at ingest time. The
+    accumulated pair union across micro-batches must equal the one-shot
+    batch join, so the gate runs the SAME all-pairs oracle as
+    image_dedup_wide."""
+    import os
+    import shutil
+
+    from .images_q import _n_for
+    from ..sources.images import generate_phash_corpus_df
+    from ..streaming.dedup import read_pairs, start_incremental_dedup
+
+    app_id = spark.sparkContext.applicationId
+    base = f"/tmp/osm2mp_inc_dedup_{os.path.basename(os.path.normpath(sf_dir))}_{app_id}"
+    shutil.rmtree(base, ignore_errors=True)
+    land = os.path.join(base, "landing")
+    corpus = generate_phash_corpus_df(spark, _n_for(spark, sf_dir))
+    # 4 landing files → 4 micro-batches at maxFilesPerTrigger=1
+    corpus.repartition(4).write.mode("overwrite").parquet(land)
+    schema = spark.read.parquet(land).schema
+    q = start_incremental_dedup(
+        spark, land, schema,
+        store_path=os.path.join(base, "store"),
+        pairs_path=os.path.join(base, "pairs"),
+        checkpoint_path=os.path.join(base, "ckpt"),
+        max_hamming=7, max_files_per_trigger=1,
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return read_pairs(spark, os.path.join(base, "pairs"))

@@ -1,0 +1,143 @@
+"""Streaming ingest → INCREMENTAL near-dup detection (the composition the
+r3 verdict asked for): newly-landed image files stream in, each micro-batch
+is wide-signature-hashed and banded-Hamming-joined against the accumulated
+signature store, so duplicates are caught AT INGEST TIME — no periodic
+all-corpus recompute.
+
+Incremental invariant: a pair is emitted by exactly one micro-batch — the
+one holding its LATER-arriving member (the earlier member is already in the
+store; a pair landing in one batch is emitted by that batch). Hence after
+any partitioning of a corpus into micro-batches, the union of emitted pairs
+EQUALS the one-shot batch join (image_dedup_wide) — which is how the gate
+checks it, via the same DuckDB all-pairs oracle.
+
+Exactly-once across restarts: the streaming checkpoint pins the file→batch
+assignment, and every per-batch output (signatures into the store, pairs
+into the pairs dir) goes to a `batch=<id>` directory written with
+mode=overwrite — a re-executed batch recomputes byte-identical content
+(deterministic kernel) over the same store prefix (store = batches < id),
+so replays are idempotent. Local paths here; swap the os.listdir for a
+Hadoop FS listing on a real cluster — the per-batch layout is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.images import (
+    WIDE_WORDS,
+    dhash_wide_images,
+    wide_band_explode,
+)
+
+
+def _batch_dirs(root: str, below: int | None = None) -> list[str]:
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for d in sorted(os.listdir(root)):
+        m = re.fullmatch(r"batch=(\d+)", d)
+        if m and (below is None or int(m.group(1)) < below):
+            out.append(os.path.join(root, d))
+    return out
+
+
+def pairs_touching(new_sigs: DataFrame, all_sigs: DataFrame,
+                   max_hamming: int = 7) -> DataFrame:
+    """Wide-banded Hamming pairs with at least one side in `new_sigs`
+    (all_sigs ⊇ new_sigs). Canonical (least, greatest) id ordering so a
+    same-batch pair found from both sides dedupes to one row."""
+    ln = wide_band_explode(new_sigs).select(
+        F.col("image_id").alias("nid"),
+        *[F.col(w).alias(f"n{w}") for w in WIDE_WORDS],
+        "band", "key",
+    )
+    ra = wide_band_explode(all_sigs).select(
+        F.col("image_id").alias("aid"),
+        *[F.col(w).alias(f"a{w}") for w in WIDE_WORDS],
+        "band", "key",
+    )
+    ham = " + ".join(f"bit_count(x{w} ^ y{w})" for w in WIDE_WORDS)
+    lo = F.col("nid") < F.col("aid")
+    return (
+        ln.join(ra, ["band", "key"])
+        .filter(F.col("nid") != F.col("aid"))
+        # canonicalize the word columns WITH the id ordering: a same-batch
+        # pair is found from both directions, and without this the swapped
+        # word columns defeat the distinct (two identical output rows)
+        .select(
+            F.least("nid", "aid").alias("id_a"),
+            F.greatest("nid", "aid").alias("id_b"),
+            *[
+                F.when(lo, F.col(f"n{w}")).otherwise(F.col(f"a{w}")).alias(f"x{w}")
+                for w in WIDE_WORDS
+            ],
+            *[
+                F.when(lo, F.col(f"a{w}")).otherwise(F.col(f"n{w}")).alias(f"y{w}")
+                for w in WIDE_WORDS
+            ],
+        )
+        .distinct()
+        .withColumn("hamming", F.expr(f"CAST({ham} AS INT)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def start_incremental_dedup(
+    spark: SparkSession,
+    images_path: str,
+    schema,
+    store_path: str,
+    pairs_path: str,
+    checkpoint_path: str,
+    max_hamming: int = 7,
+    max_files_per_trigger: int | None = 1,
+):
+    """readStream over an image-file landing zone → per-micro-batch wide
+    signatures + incremental banded join against the store. Returns the
+    StreamingQuery (caller drives processAllAvailable / awaitTermination)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sig_dir = os.path.join(store_path, f"batch={batch_id:09d}")
+        (
+            dhash_wide_images(batch_df)
+            .write.mode("overwrite")
+            .parquet(sig_dir)
+        )
+        new = spark.read.parquet(sig_dir)
+        prev = _batch_dirs(store_path, below=batch_id)
+        all_sigs = (
+            spark.read.parquet(sig_dir, *prev) if prev else new
+        )
+        out = os.path.join(pairs_path, f"batch={batch_id:09d}")
+        pairs_touching(new, all_sigs, max_hamming).write.mode(
+            "overwrite"
+        ).parquet(out)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(images_path)
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_pairs(spark: SparkSession, pairs_path: str) -> DataFrame:
+    """Accumulated pair set across every processed micro-batch."""
+    dirs = _batch_dirs(pairs_path)
+    if not dirs:
+        return spark.createDataFrame(
+            [], "id_a string, id_b string, hamming int"
+        )
+    return spark.read.parquet(*dirs).select("id_a", "id_b", "hamming")
+
+
+__all__ = ["start_incremental_dedup", "read_pairs", "pairs_touching"]

@@ -523,3 +523,75 @@ class TestSparkSubmitDeployment:
         assert stats2["skipped"] == 4 and stats2["written"] == 0
         for f, m in mtimes.items():
             assert os.path.getmtime(os.path.join(manifest, f)) == m
+
+
+class TestIncrementalDedupStream:
+    """Streaming ingest → incremental dedup composition (streaming.dedup):
+    pair union across micro-batches == one-shot batch join, surviving a
+    stop + restart from checkpoint without duplicate or lost pairs."""
+
+    def _land(self, spark, d, lo, hi):
+        import pandas as pd
+
+        from osm2mp_spark.sources.images import phash_corpus_row
+
+        rows = []
+        for i in range(lo, hi):
+            rows.append(phash_corpus_row(i, dup=False))
+            if i % 7 == 0:
+                rows.append(phash_corpus_row(i, dup=True))
+        spark.createDataFrame(pd.DataFrame(rows)).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d))
+
+    def test_restart_union_matches_batch_join(self, spark, tmp_path):
+        from osm2mp_spark.operators.images import (
+            dhash_wide_images,
+            wide_hamming_pairs,
+        )
+        from osm2mp_spark.streaming.dedup import (
+            read_pairs,
+            start_incremental_dedup,
+        )
+
+        land = tmp_path / "landing"
+        land.mkdir()
+        store, pairs, ckpt = (
+            str(tmp_path / "store"), str(tmp_path / "pairs"),
+            str(tmp_path / "ckpt"),
+        )
+        # dups are planted ACROSS landing files: originals 0..14 in files
+        # 1-2, their dup rows ride along, and file 3 adds 14..21 — so some
+        # pairs resolve same-batch, the cross-file ones via the store
+        self._land(spark, land, 0, 7)
+        self._land(spark, land, 7, 14)
+        schema = spark.read.parquet(str(land)).schema
+
+        def run():
+            q = start_incremental_dedup(
+                spark, str(land), schema, store, pairs, ckpt,
+                max_hamming=7, max_files_per_trigger=1,
+            )
+            try:
+                q.awaitTermination()
+            finally:
+                q.stop()
+
+        run()
+        n_first = len(read_pairs(spark, pairs).toPandas())
+        assert n_first == 2  # originals 0 and 7 have planted dups
+
+        # land a third file AFTER the stream finished; restart from ckpt
+        self._land(spark, land, 14, 21)
+        run()
+        got = read_pairs(spark, pairs).toPandas()
+        batch = wide_hamming_pairs(
+            dhash_wide_images(spark.read.parquet(str(land))), max_hamming=7
+        ).toPandas()
+        a = got.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        b = batch.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        assert len(a) == len(b) == 3
+        assert (a.id_a == b.id_a).all() and (a.id_b == b.id_b).all()
+        assert (a.hamming == b.hamming).all()
+        # no duplicate pair rows across batch dirs (exactly-once layout)
+        assert not got.duplicated(["id_a", "id_b"]).any()
