@@ -530,3 +530,123 @@ def raster_contours_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     for more in levels[1:]:
         occ = occ.unionByName(more)
     return contours_from_leveled_occupancy(occ)
+
+
+# ---------------------------------------------------------------------------
+# DENSE per-tile raster arrays (VERDICT r03 ask): one row per tile holding
+# the full G×G cell array — the storage layout a 100 TB raster actually
+# uses (a row per pixel at 10^12 points is the wrong shape to persist or
+# re-read). Construction stays entirely in JVM codegen: the sparse raster's
+# one map-side-combined shuffle, then map_from_entries + transform — no
+# Python, no second shuffle. The contour stage then consumes the DENSE
+# layout: posexplode unpacks occupancy, and the marching-squares cell
+# groupBy doubles as the halo exchange (cells on tile borders receive
+# corner bits from up to 4 tiles and meet in the shuffle — Spark's answer
+# to an MPI ghost-cell exchange).
+# ---------------------------------------------------------------------------
+
+
+def dense_tiles(raster: DataFrame, g: int = _G) -> DataFrame:
+    """Sparse raster rows (tile_id, py, px, n) → dense per-tile arrays
+    (tile_id, cells array<bigint> of length g*g, row-major py*g+px).
+    Missing cells densify to 0."""
+    return (
+        raster.groupBy("tile_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.expr(f"struct(py * {g} + px AS k, n AS v)")
+                )
+            ).alias("m")
+        )
+        .select(
+            "tile_id",
+            F.expr(
+                f"transform(sequence(0, {g * g - 1}), "
+                "i -> COALESCE(element_at(m, i), CAST(0 AS BIGINT)))"
+            ).alias("cells"),
+        )
+    )
+
+
+def occupancy_from_dense(dense: DataFrame, threshold: int = _T,
+                         g: int = _G, nx: int = _NX) -> DataFrame:
+    """Dense per-tile arrays → occupied GLOBAL pixels (gy, gx): posexplode
+    each tile's array, threshold, reconstruct global coordinates from
+    (tile_id, position). All JVM."""
+    return (
+        dense.select("tile_id", F.posexplode("cells").alias("pos", "n"))
+        .filter(F.col("n") >= threshold)
+        .selectExpr(
+            f"CAST((tile_id DIV {nx}) * {g} + (pos DIV {g}) AS INT) AS gy",
+            f"CAST((tile_id % {nx}) * {g} + (pos % {g}) AS INT) AS gx",
+        )
+    )
+
+
+@register(
+    "raster_dense_tiles",
+    oracle=f"""
+WITH {_raster_cte('duckdb')},
+tiles AS (SELECT DISTINCT tile_id FROM raster),
+idx AS (SELECT UNNEST(range(0, {_G * _G})) AS i),
+grid AS (SELECT t.tile_id, CAST(i.i AS INT) AS i FROM tiles t CROSS JOIN idx i),
+dense AS (
+  SELECT g.tile_id, g.i, CAST(COALESCE(r.n, 0) AS BIGINT) AS n
+  FROM grid g LEFT JOIN raster r
+    ON r.tile_id = g.tile_id AND r.py * {_G} + r.px = g.i)
+SELECT tile_id,
+       CAST(COUNT(CASE WHEN n >= {_T} THEN 1 END) AS INT) AS n_occupied,
+       CAST(SUM(n) AS BIGINT) AS total_points,
+       ARRAY_TO_STRING(LIST(n ORDER BY i), ',') AS cells_str
+FROM dense GROUP BY tile_id
+""",
+)
+def raster_dense_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector→raster in the DENSE layout: one row per touched tile with the
+    full {_G}×{_G} cell array. The gate serializes the array to an exact
+    comma-joined string (plus occupied-cell count and exact point total) so
+    every element of every tile is hash-compared."""
+    dense = dense_tiles(_spark_raster(spark, sf_dir))
+    return dense.selectExpr(
+        "tile_id",
+        f"CAST(size(filter(cells, c -> c >= {_T})) AS INT) AS n_occupied",
+        "aggregate(cells, CAST(0 AS BIGINT), (a, c) -> a + c) AS total_points",
+        "array_join(transform(cells, c -> CAST(c AS STRING)), ',') AS cells_str",
+    )
+
+
+@register(
+    "raster_contours_geo",
+    oracle=f"""
+WITH {_cells_cte('duckdb')},
+segs(case_id, seg, ax, ay, bx, by) AS (VALUES {_MS_VALUES})
+SELECT c.cy, c.cx, c.case_id, s.seg,
+       (2 * c.cx + s.ax) * {_LON_PP / 2!r} - 180.0 AS lon0,
+       (2 * c.cy + s.ay) * {_LAT_PP / 2!r} - 90.0  AS lat0,
+       (2 * c.cx + s.bx) * {_LON_PP / 2!r} - 180.0 AS lon1,
+       (2 * c.cy + s.by) * {_LAT_PP / 2!r} - 90.0  AS lat1
+FROM cells c JOIN segs s ON c.case_id = s.case_id
+""",
+)
+def raster_contours_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOGRAPHIC contours from the DENSE tile layout: dense arrays →
+    posexplode occupancy → marching squares → exact lon/lat endpoints.
+    The doubled-pixel → degrees conversion multiplies by {_LON_PP / 2}
+    (= 45/64, an exact binary double; products of small ints by it are
+    exact), so the geo endpoints hash bit-identically. The oracle never
+    sees the dense layout — DuckDB goes points → cells directly — so the
+    gate proves dense-roundtrip + tile-border halo correctness end-to-end."""
+    dense = dense_tiles(_spark_raster(spark, sf_dir))
+    occ = occupancy_from_dense(dense, threshold=_T)
+    segs = contours_from_occupancy(occ)
+    # `D` suffixes: Spark parses bare decimal literals as DECIMAL, which
+    # poisons the chain into exact-decimal arithmetic that diverges from
+    # DuckDB's doubles (see spark-duckdb exactness rules).
+    return segs.selectExpr(
+        "cy", "cx", "case_id", "seg",
+        f"x0 * {_LON_PP / 2!r}D - 180.0D AS lon0",
+        f"y0 * {_LAT_PP / 2!r}D - 90.0D  AS lat0",
+        f"x1 * {_LON_PP / 2!r}D - 180.0D AS lon1",
+        f"y1 * {_LAT_PP / 2!r}D - 90.0D  AS lat1",
+    )

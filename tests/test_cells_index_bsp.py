@@ -398,3 +398,72 @@ class TestRasterVector:
         assert l1[["x0", "x1"]].values.max() < l0[["x0", "x1"]].values.max()
         assert l1[["y0", "y1"]].values.min() > l0[["y0", "y1"]].values.min()
         assert l1[["y0", "y1"]].values.max() < l0[["y0", "y1"]].values.max()
+
+
+class TestDenseRasterTiles:
+    """Dense per-tile array layout (queries/raster.py dense_tiles /
+    occupancy_from_dense): exact round trip, JVM-only plan."""
+
+    def test_dense_roundtrip_hand_fixture(self, spark):
+        """Sparse (tile, py, px, n) rows densify to g*g arrays with zeros,
+        and occupancy_from_dense reconstructs exactly the >=T global
+        pixels — including a tile-border pixel pair whose marching cell
+        needs both tiles."""
+        from osm2mp_spark.queries.raster import (
+            dense_tiles,
+            occupancy_from_dense,
+        )
+
+        sparse = spark.createDataFrame(
+            [
+                (0, 0, 0, 5),    # tile 0 corner
+                (0, 15, 15, 2),  # tile 0 bottom-right border pixel
+                (1, 15, 0, 3),   # tile 1 bottom-left — adjacent across x
+                (1, 2, 3, 1),    # below threshold
+                (17, 0, 0, 9),   # tile one row down
+            ],
+            "tile_id int, py int, px int, n long",
+        )
+        dense = dense_tiles(sparse)
+        got = {r.tile_id: list(r.cells) for r in dense.collect()}
+        assert set(got) == {0, 1, 17}
+        assert all(len(v) == 256 for v in got.values())
+        assert got[0][0] == 5 and got[0][15 * 16 + 15] == 2
+        assert got[1][15 * 16 + 0] == 3 and got[1][2 * 16 + 3] == 1
+        assert sum(got[0]) == 7  # zeros everywhere else
+        occ = {
+            (r.gy, r.gx)
+            for r in occupancy_from_dense(dense, threshold=2).collect()
+        }
+        # global coords: tile 0 -> (0,0) & (15,15); tile 1 -> (15,16);
+        # tile 17 (row 1, col 1) -> (16,16); the n=1 pixel drops out
+        assert occ == {(0, 0), (15, 15), (15, 16), (16, 16)}
+
+    def test_dense_plan_jvm_only_single_shuffle(self, spark):
+        """dense_tiles stays in JVM codegen (no Python eval) and costs one
+        exchange beyond the scan — the map-side-combined raster groupBy
+        and the tile groupBy share the tile-compatible partitioning."""
+        import __spark_entry__ as E
+
+        df = E.queries()["raster_dense_tiles"](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_geo_contours_exact_doubles(self, spark):
+        """Geo endpoints are exact multiples of 45/64 and 45/128 shifted —
+        spot-check the conversion against pure-python arithmetic."""
+        import __spark_entry__ as E
+
+        got = (
+            E.queries()["raster_contours_geo"](spark, "/root/testdata/sf0.001")
+            .limit(50)
+            .collect()
+        )
+        assert got
+        for r in got:
+            # doubled-coord reconstruction is exact
+            dx0 = round((r.lon0 + 180.0) / 0.703125)
+            dy0 = round((r.lat0 + 90.0) / 0.3515625)
+            assert dx0 * 0.703125 - 180.0 == r.lon0
+            assert dy0 * 0.3515625 - 90.0 == r.lat0
