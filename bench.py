@@ -41,9 +41,12 @@ HEADLINE = [
 # raster->vector stages
 EXTRA = [
     "image_dedup_phash",
+    "image_dedup_wide",
     "image_dedup_clusters",
     "raster_tiles",
     "raster_contours",
+    "raster_contours_geo",
+    "raster_dense_tiles",
     "raster_contour_rings",
     "cell_rollup",
 ]
@@ -238,6 +241,57 @@ def bench_two_level_jvm(n_points: int = 120_000_000, sessions: int | None = None
     }
 
 
+def bench_dedup_scale(ns=(20_000, 60_000, 180_000)) -> dict:
+    """Dedup throughput CURVE (VERDICT r03 ask): image near-dup detection at
+    several corpus sizes for both signature widths — 64-bit/9-bit-band
+    (phash_hamming_pairs) and 256-bit/32-bit-band (wide_hamming_pairs).
+    Each timing covers generate → decode → hash → banded join → popcount,
+    best-of-2 per point. images/sec per config shows how candidate volume
+    (the 64-bit path's bucket-collision growth) bends the curve while the
+    wide path stays ~linear."""
+    from osm2mp_spark.operators.images import (
+        dhash_images,
+        dhash_wide_images,
+        phash_hamming_pairs,
+        wide_hamming_pairs,
+    )
+    from osm2mp_spark.sources.images import generate_phash_corpus_df
+
+    spark = make_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    from osm2mp_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def one(n: int, wide: bool) -> tuple[float, int]:
+        best, pairs = float("inf"), 0
+        for _ in range(2):
+            corpus = generate_phash_corpus_df(spark, n)
+            t0 = time.time()
+            if wide:
+                df = wide_hamming_pairs(dhash_wide_images(corpus), max_hamming=7)
+            else:
+                df = phash_hamming_pairs(dhash_images(corpus), max_hamming=6)
+            pairs = df.count()
+            best = min(best, time.time() - t0)
+        return best, pairs
+
+    # interleave configs across sizes (co-tenant noise protocol)
+    out: dict[str, dict] = {"narrow64": {}, "wide256": {}}
+    for n in ns:
+        n_imgs = n + (n + 6) // 7  # originals + planted dups
+        for key, wide in (("narrow64", False), ("wide256", True)):
+            sec, pairs = one(n, wide)
+            out[key][str(n)] = {
+                "sec": round(sec, 3),
+                "images": n_imgs,
+                "pairs": pairs,
+                "images_per_sec": round(n_imgs / sec, 1),
+            }
+    spark.stop()
+    return out
+
+
 def main():
     if "--scale-session" in sys.argv:
         i = sys.argv.index("--scale-session")
@@ -245,6 +299,9 @@ def main():
         return
     two_level = "--two-level" in sys.argv
     two_level_jvm = "--two-level-jvm" in sys.argv
+    if "--dedup-scale" in sys.argv:
+        print(json.dumps({"dedup_scale": bench_dedup_scale()}))
+        return
     import __spark_entry__ as entry
 
     qs = entry.queries()
