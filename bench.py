@@ -263,31 +263,48 @@ def bench_dedup_scale(ns=(20_000, 60_000, 180_000)) -> dict:
 
     ensure_shipped(spark)
 
-    def one(n: int, wide: bool) -> tuple[float, int]:
-        best, pairs = float("inf"), 0
+    from pyspark.sql import functions as F
+
+    from osm2mp_spark.operators.images import band_explode, wide_band_explode
+
+    def one(n: int, wide: bool) -> dict:
+        # hash stage (generate+decode+signature), materialized once
+        corpus = generate_phash_corpus_df(spark, n)
+        kern = dhash_wide_images if wide else dhash_images
+        t0 = time.time()
+        sigs = kern(corpus).localCheckpoint(eager=True)
+        hash_sec = time.time() - t0
+        # CANDIDATE VOLUME — the number that decides 10^12-sig viability:
+        # band-equi-join rows before distinct/popcount. 9-bit bands
+        # (narrow64) put ~n/512 sigs in each bucket → quadratic growth;
+        # 32-bit bands (wide256) keep buckets ~n/2^32.
+        e = (wide_band_explode if wide else
+             lambda s: band_explode(s, max_hamming=6))(sigs)
+        l = e.select(F.col("image_id").alias("ia"), "band", "key")
+        r = e.select(F.col("image_id").alias("ib"), "band", "key")
+        cand = l.join(r, ["band", "key"]).filter(F.col("ia") < F.col("ib")).count()
+        # join stage best-of-2 over the cached signatures
+        join_sec, pairs = float("inf"), 0
         for _ in range(2):
-            corpus = generate_phash_corpus_df(spark, n)
+            df = (wide_hamming_pairs(sigs, max_hamming=7) if wide
+                  else phash_hamming_pairs(sigs, max_hamming=6))
             t0 = time.time()
-            if wide:
-                df = wide_hamming_pairs(dhash_wide_images(corpus), max_hamming=7)
-            else:
-                df = phash_hamming_pairs(dhash_images(corpus), max_hamming=6)
             pairs = df.count()
-            best = min(best, time.time() - t0)
-        return best, pairs
+            join_sec = min(join_sec, time.time() - t0)
+        sigs.unpersist()
+        return {"hash_sec": round(hash_sec, 3),
+                "join_sec": round(join_sec, 3),
+                "candidates": cand, "pairs": pairs}
 
     # interleave configs across sizes (co-tenant noise protocol)
     out: dict[str, dict] = {"narrow64": {}, "wide256": {}}
     for n in ns:
         n_imgs = n + (n + 6) // 7  # originals + planted dups
         for key, wide in (("narrow64", False), ("wide256", True)):
-            sec, pairs = one(n, wide)
-            out[key][str(n)] = {
-                "sec": round(sec, 3),
-                "images": n_imgs,
-                "pairs": pairs,
-                "images_per_sec": round(n_imgs / sec, 1),
-            }
+            rec = one(n, wide)
+            rec["images"] = n_imgs
+            rec["images_per_sec_join"] = round(n_imgs / rec["join_sec"], 1)
+            out[key][str(n)] = rec
     spark.stop()
     return out
 

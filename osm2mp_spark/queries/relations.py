@@ -366,13 +366,17 @@ def entrance_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
     rings = blds.select(
         "building_id", F.posexplode("ring").alias("pos", "node_id")
     )
-    entr = (
-        spark.read.parquet(f"{sf_dir}/part.parquet")
-        .filter("p_partkey % 23 = 0")
-        .select(F.col("p_partkey").cast("bigint").alias("node_id"))
+    from ..plans.hints import maybe_broadcast
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    entr = part.filter("p_partkey % 23 = 0").select(
+        F.col("p_partkey").cast("bigint").alias("node_id")
     )
+    # entrance nodes are FACT-derived (~1/23 of parts), so the broadcast is
+    # size-gated: past the ceiling this becomes a shuffled equi-join
     hit = (
-        rings.join(F.broadcast(entr), "node_id")
+        rings.join(maybe_broadcast(entr, est_rows=part.count() // 23 + 1),
+                   "node_id")
         .groupBy("building_id")
         .agg(F.min_by("node_id", "pos").alias("entrance_node"))
     )

@@ -102,6 +102,9 @@ def start_incremental_dedup(
     StreamingQuery (caller drives processAllAvailable / awaitTermination)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        import time
+
+        t0 = time.time()
         sig_dir = os.path.join(store_path, f"batch={batch_id:09d}")
         (
             dhash_wide_images(batch_df)
@@ -117,6 +120,21 @@ def start_incremental_dedup(
         pairs_touching(new, all_sigs, max_hamming).write.mode(
             "overwrite"
         ).parquet(out)
+        # per-batch lineage + throughput record (north_rule: resumable with
+        # per-partition lineage + metrics). Same idempotent overwrite layout
+        # as the data; written LAST so a metrics row certifies a completed
+        # batch. Counts come from parquet footers — no recompute.
+        n_new = new.count()
+        n_pairs = spark.read.parquet(out).count()
+        secs = time.time() - t0
+        spark.createDataFrame(
+            [(int(batch_id), n_new, n_pairs, float(secs),
+              float(n_new / secs) if secs > 0 else 0.0)],
+            "batch_id long, n_images long, n_pairs long, secs double, "
+            "images_per_sec double",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(store_path, "metrics", f"batch={batch_id:09d}")
+        )
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -140,4 +158,22 @@ def read_pairs(spark: SparkSession, pairs_path: str) -> DataFrame:
     return spark.read.parquet(*dirs).select("id_a", "id_b", "hamming")
 
 
-__all__ = ["start_incremental_dedup", "read_pairs", "pairs_touching"]
+def read_batch_metrics(spark: SparkSession, store_path: str) -> DataFrame:
+    """Per-batch lineage/throughput records (batch_id, n_images, n_pairs,
+    secs, images_per_sec) — the mid-run resume ledger: a batch with a
+    metrics row is complete; absent rows re-run from the streaming
+    checkpoint."""
+    dirs = _batch_dirs(os.path.join(store_path, "metrics"))
+    if not dirs:
+        return spark.createDataFrame(
+            [],
+            "batch_id long, n_images long, n_pairs long, secs double, "
+            "images_per_sec double",
+        )
+    return spark.read.parquet(*dirs)
+
+
+__all__ = [
+    "start_incremental_dedup", "read_pairs", "pairs_touching",
+    "read_batch_metrics",
+]

@@ -595,3 +595,14 @@ class TestIncrementalDedupStream:
         assert (a.hamming == b.hamming).all()
         # no duplicate pair rows across batch dirs (exactly-once layout)
         assert not got.duplicated(["id_a", "id_b"]).any()
+
+        # per-batch lineage/metrics ledger: one row per processed batch,
+        # image counts reconcile with the landed corpus, pair counts with
+        # the emitted pairs, and throughput is recorded
+        from osm2mp_spark.streaming.dedup import read_batch_metrics
+
+        m = read_batch_metrics(spark, store).toPandas()
+        assert m.batch_id.nunique() == len(m) == 3
+        assert int(m.n_images.sum()) == 24  # 21 originals + 3 planted dups
+        assert int(m.n_pairs.sum()) == len(got)
+        assert (m.secs > 0).all() and (m.images_per_sec > 0).all()

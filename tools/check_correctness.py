@@ -128,6 +128,7 @@ def main():
             "oracle_rows": len(odf),
             "err": None,
             "golden": "GOLDEN sf0.01" in oracles[name] or None,
+            "zero_rows": len(sdf) == 0 or None,
         }
         if issues:
             failed.append(name)
