@@ -43,10 +43,12 @@ def _wrap(fn: Callable) -> Callable:
 
 
 def _gate_priority_order(names: list[str]) -> list[str]:
-    """Order queries so the ones WITHOUT a row in the newest committed
-    CORRECTNESS_r*.json run FIRST: if the driver's gate checks only a prefix
-    of the registry, rotation then guarantees union coverage across rounds
-    (VERDICT r02 follow-up — 26/76 queries were never gate-checked)."""
+    """Order queries so a prefix-limited driver gate maximizes coverage:
+    (1) queries NEVER checked by any round's CORRECTNESS_r*.json (new this
+    round, or rotation-pending) run first, (2) then queries missing from
+    the NEWEST artifact (round-to-round rotation), (3) then registry order.
+    Guarantees union coverage across rounds (VERDICT r02 follow-up) AND
+    that freshly-added operators hit the gate in their own round."""
     import glob
     import json
     import re
@@ -55,17 +57,30 @@ def _gate_priority_order(names: list[str]) -> list[str]:
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
         return int(m.group(1)) if m else -1
 
-    seen: set[str] = set()
+    ever: set[str] = set()
+    newest: set[str] = set()
     artifacts = sorted(
         glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")), key=round_no
     )
-    if artifacts:
+    for p in artifacts:
         try:
-            with open(artifacts[-1]) as f:
-                seen = set(json.load(f))
+            with open(p) as f:
+                data = json.load(f)
         except (OSError, ValueError):
-            seen = set()
-    return sorted(names, key=lambda n: (n in seen, names.index(n)))
+            continue
+        # a rows-only record (hash_match null — the query had no oracle
+        # that round) does NOT count as verified: such queries keep top
+        # priority until an exact-gate row exists for them
+        keys = {
+            n for n, rec in data.items()
+            if not isinstance(rec, dict) or rec.get("hash_match")
+        }
+        ever |= keys
+        if p == artifacts[-1]:
+            newest = keys
+    return sorted(
+        names, key=lambda n: (n in ever, n in newest, names.index(n))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
