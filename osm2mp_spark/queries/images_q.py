@@ -568,3 +568,71 @@ def image_ann_topk_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("query_id", "neighbor_id", "hamming", "rnk")
     )
+
+
+def _wide_clusters_oracle(max_hamming: int = 7) -> str | None:
+    """Recursive-CTE components over the golden WIDE signature table's
+    all-pairs 4-word Hamming join — the at-scale cluster oracle."""
+    from . import golden_path
+
+    path = golden_path("image_dhash_wide")
+    if path is None:
+        return None
+    ham = " + ".join(
+        f"CAST(bit_count(xor(a.h{i}, b.h{i})) AS INT)" for i in range(4)
+    )
+    return f"""
+WITH RECURSIVE sigs AS (
+  SELECT image_id, h0, h1, h2, h3, {_img_key('image_id')} AS k
+  FROM read_parquet('{path}')),
+pairs AS (
+  SELECT a.k AS ka, b.k AS kb FROM sigs a JOIN sigs b
+   ON a.image_id < b.image_id
+  WHERE {ham} <= {max_hamming}),
+und AS (SELECT ka AS a, kb AS b FROM pairs
+        UNION ALL SELECT kb AS a, ka AS b FROM pairs),
+comp(v, lab) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM und)
+  UNION
+  SELECT u.b, c.lab FROM comp c JOIN und u ON u.a = c.v),
+lbl AS (SELECT v, MIN(lab) AS cl FROM comp GROUP BY v),
+allv AS (SELECT s.k, COALESCE(l.cl, s.k) AS cl
+         FROM sigs s LEFT JOIN lbl l ON s.k = l.v),
+sizes AS (SELECT cl, COUNT(*) AS n FROM allv GROUP BY cl)
+SELECT {_img_unkey('a.k', 'duckdb')} AS image_id,
+       {_img_unkey('a.cl', 'duckdb')} AS cluster_id,
+       CAST(s.n AS BIGINT) AS cluster_size,
+       (a.k = a.cl) AS keep
+FROM allv a JOIN sizes s ON s.cl = a.cl
+-- GOLDEN sf0.01
+"""
+
+
+@register("image_dedup_clusters_wide", oracle=_wide_clusters_oracle())
+def image_dedup_clusters_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale terminal keep/drop decision: WIDE signatures → 32-bit-
+    banded Hamming pairs (linear candidate volume, §1a of BENCH.md) →
+    min-label components → keeper = min image_id per cluster. Completes
+    the wide family end-to-end (signature → pairs → clusters → keeper)."""
+    from ..operators.chains import min_label_components
+    from ..operators.images import dhash_wide_images, wide_hamming_pairs
+    from ..sources.images import generate_phash_corpus_df
+
+    corpus = generate_phash_corpus_df(spark, _n_for(spark, sf_dir))
+    sigs = dhash_wide_images(corpus).localCheckpoint(eager=False)
+    pairs = wide_hamming_pairs(sigs, max_hamming=7).selectExpr(
+        f"{_img_key('id_a')} AS ka", f"{_img_key('id_b')} AS kb"
+    )
+    labels = min_label_components(pairs, src="ka", dst="kb")
+    allv = (
+        sigs.selectExpr(f"{_img_key('image_id')} AS k")
+        .join(labels.withColumnRenamed("vertex", "k"), "k", "left")
+        .selectExpr("k", "COALESCE(label, k) AS cl")
+    )
+    sizes = allv.groupBy("cl").agg(F.count("*").alias("n"))
+    return allv.join(sizes, "cl").selectExpr(
+        f"{_img_unkey('k', 'spark')} AS image_id",
+        f"{_img_unkey('cl', 'spark')} AS cluster_id",
+        "CAST(n AS BIGINT) AS cluster_size",
+        "(k = cl) AS keep",
+    )

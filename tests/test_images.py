@@ -529,3 +529,17 @@ class TestWideSignatures:
             v = (hi << 32) | lo
             v -= (v & (1 << 63)) << 1
             assert v == int(grp[f"h{word}"].iloc[0])
+
+    def test_wide_clusters_match_narrow_decision(self, spark):
+        """At small n the 64-bit and 256-bit cluster decisions agree
+        exactly (same planted structure, independent signature spaces)."""
+        import __spark_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        narrow = E.queries()["image_dedup_clusters"](spark, sf).toPandas()
+        wide = E.queries()["image_dedup_clusters_wide"](spark, sf).toPandas()
+        a = narrow.sort_values("image_id").reset_index(drop=True)
+        b = wide.sort_values("image_id").reset_index(drop=True)
+        assert (a.image_id == b.image_id).all()
+        assert (a.cluster_id == b.cluster_id).all()
+        assert (a.keep == b.keep).all()
