@@ -265,11 +265,7 @@ def dhash_images(df: DataFrame) -> DataFrame:
                 )
                 cnt = (yb[1:] - yb[:-1])[:, None] * (xb[1:] - xb[:-1])[None, :]
                 bits = (s[:, 1:] * cnt[:, :-1] > s[:, :-1] * cnt[:, 1:]).flatten()
-                dh = 0
-                for b in bits:
-                    dh = (dh << 1) | int(b)
-                dh -= (dh & (1 << 63)) << 1  # two's-complement int64
-                rows.append((r.image_id, dh))
+                rows.append((r.image_id, _pack64(bits)))
             yield pd.DataFrame(rows, columns=["image_id", "dhash"])
 
     from ..shipping import ensure_shipped
@@ -280,15 +276,23 @@ def dhash_images(df: DataFrame) -> DataFrame:
     )
 
 
-def _block_sums(gray: np.ndarray, rows_c: int, cols_c: int):
-    """Exact-integer block pooling: (rows_c x cols_c) block SUMS via a 2-D
-    prefix sum + per-block pixel counts (blocks differ in size when the
-    image dims don't divide evenly)."""
+def _prefix2d(gray: np.ndarray) -> np.ndarray:
+    """2-D inclusive prefix sum with a zero border — computed ONCE per
+    image and shared by every pooling geometry (the grid only selects
+    entries from it)."""
     h, w = gray.shape
-    yb = (np.arange(rows_c + 1) * h) // rows_c
-    xb = (np.arange(cols_c + 1) * w) // cols_c
     pref = np.zeros((h + 1, w + 1), dtype=np.int64)
     np.cumsum(np.cumsum(gray, axis=0), axis=1, out=pref[1:, 1:])
+    return pref
+
+
+def _block_sums_from_prefix(pref: np.ndarray, rows_c: int, cols_c: int):
+    """(rows_c x cols_c) exact block SUMS + per-block pixel counts from a
+    shared prefix sum (blocks differ in size when the image dims don't
+    divide evenly)."""
+    h, w = pref.shape[0] - 1, pref.shape[1] - 1
+    yb = (np.arange(rows_c + 1) * h) // rows_c
+    xb = (np.arange(cols_c + 1) * w) // cols_c
     s = (
         pref[yb[1:, None], xb[None, 1:]]
         - pref[yb[:-1, None], xb[None, 1:]]
@@ -297,6 +301,12 @@ def _block_sums(gray: np.ndarray, rows_c: int, cols_c: int):
     )
     cnt = (yb[1:] - yb[:-1])[:, None] * (xb[1:] - xb[:-1])[None, :]
     return s, cnt
+
+
+def _block_sums(gray: np.ndarray, rows_c: int, cols_c: int):
+    """Exact-integer block pooling of one grid (kept for the single-grid
+    callers/tests; wide_signature shares one prefix across its 4 grids)."""
+    return _block_sums_from_prefix(_prefix2d(gray), rows_c, cols_c)
 
 
 def _compare_bits(s: np.ndarray, cnt: np.ndarray, axis: int) -> np.ndarray:
@@ -308,12 +318,12 @@ def _compare_bits(s: np.ndarray, cnt: np.ndarray, axis: int) -> np.ndarray:
 
 
 def _pack64(bits: np.ndarray) -> int:
-    """64 bools → signed int64, MSB-first (dhash_images' packing)."""
-    v = 0
-    for b in bits:
-        v = (v << 1) | int(b)
-    v -= (v & (1 << 63)) << 1
-    return v
+    """64 bools → signed int64, MSB-first (dhash_images' packing) — via
+    packbits, bit-identical to the shift loop it replaced."""
+    return int.from_bytes(
+        np.packbits(np.asarray(bits, dtype=np.uint8)).tobytes(),
+        "big", signed=True,
+    )
 
 
 # 4 independent 64-bit pooling geometries — (rows, cols, compare-axis),
@@ -336,10 +346,10 @@ def wide_signature(px: np.ndarray) -> tuple[int, int, int, int]:
     """256-bit perceptual signature of one decoded image: 4 packed words,
     one per WIDE_GEOMETRIES entry. Exact integer arithmetic throughout —
     bit-stable at any parallelism (same contract as dhash_images)."""
-    gray = px.astype(np.int64).sum(axis=2)
+    pref = _prefix2d(px.astype(np.int64).sum(axis=2))
     words = []
     for rows_c, cols_c, axis in WIDE_GEOMETRIES:
-        s, cnt = _block_sums(gray, rows_c, cols_c)
+        s, cnt = _block_sums_from_prefix(pref, rows_c, cols_c)
         words.append(_pack64(_compare_bits(s, cnt, axis)))
     return tuple(words)
 
