@@ -45,6 +45,76 @@ def _batch_dirs(root: str, below: int | None = None) -> list[str]:
     return out
 
 
+def _compacted_dir(root: str) -> tuple[str | None, int]:
+    """Newest `compacted=<N>` dir (signatures of every batch id < N merged
+    into one directory) and its N; (None, 0) when the store has never been
+    compacted."""
+    best, best_n = None, 0
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            m = re.fullmatch(r"compacted=(\d+)", d)
+            if m and int(m.group(1)) > best_n:
+                best, best_n = os.path.join(root, d), int(m.group(1))
+    return best, best_n
+
+
+def _store_dirs(root: str, below: int | None = None) -> list[str]:
+    """Directories whose union is the signatures of all batches < `below`:
+    the newest compacted prefix plus the uncompacted batch tail. A replayed
+    batch can never predate the compaction horizon (the streaming
+    checkpoint only replays the in-flight batch, and compact_store refuses
+    to cover it), asserted here because silently double-counting a batch
+    present in BOTH the compacted dir and its own dir would emit duplicate
+    pairs."""
+    comp, n = _compacted_dir(root)
+    if comp is None:
+        return _batch_dirs(root, below)
+    if below is not None and n > below:
+        raise RuntimeError(
+            f"store compacted through batch {n} but batch {below} is being "
+            f"(re)processed — compact_store must only run on batches the "
+            f"stream has committed"
+        )
+    tail = [
+        d for d in _batch_dirs(root, below)
+        if int(re.search(r"batch=(\d+)$", d).group(1)) >= n
+    ]
+    return [comp, *tail]
+
+
+def compact_store(spark: SparkSession, store_path: str) -> int:
+    """Merge the accumulated signature store (compacted prefix + every
+    closed `batch=<id>` dir) into a single `compacted=<max_id+1>` dir and
+    drop the merged inputs. Run BETWEEN stream runs (never while the query
+    is active): at one dir per micro-batch a long-lived ingest accumulates
+    unbounded directory listings; compaction bounds store reads to one
+    merged dir + the tail since the last compaction. Atomic via
+    write-to-tmp + rename; returns the new horizon N (0 = nothing to do)."""
+    comp, comp_n = _compacted_dir(store_path)
+    batches = _batch_dirs(store_path)
+    if not batches:
+        return comp_n
+    ids = [int(re.search(r"batch=(\d+)$", d).group(1)) for d in batches]
+    horizon = max(ids) + 1
+    srcs = ([comp] if comp else []) + [
+        d for d, i in zip(batches, ids) if i >= comp_n
+    ]
+    tmp = os.path.join(store_path, f"compacted={horizon}.tmp")
+    final = os.path.join(store_path, f"compacted={horizon}")
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.read.parquet(*srcs).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(final, ignore_errors=True)
+    os.rename(tmp, final)
+    for d, i in zip(batches, ids):
+        if i < horizon:
+            shutil.rmtree(d, ignore_errors=True)
+    if comp:
+        shutil.rmtree(comp, ignore_errors=True)
+    return horizon
+
+
 def pairs_touching(new_sigs: DataFrame, all_sigs: DataFrame,
                    max_hamming: int = 7) -> DataFrame:
     """Wide-banded Hamming pairs with at least one side in `new_sigs`
@@ -112,7 +182,8 @@ def start_incremental_dedup(
             .parquet(sig_dir)
         )
         new = spark.read.parquet(sig_dir)
-        prev = _batch_dirs(store_path, below=batch_id)
+        prev = _store_dirs(store_path, below=batch_id)
+        prev = [d for d in prev if d != sig_dir]
         all_sigs = (
             spark.read.parquet(sig_dir, *prev) if prev else new
         )
@@ -175,5 +246,5 @@ def read_batch_metrics(spark: SparkSession, store_path: str) -> DataFrame:
 
 __all__ = [
     "start_incremental_dedup", "read_pairs", "pairs_touching",
-    "read_batch_metrics",
+    "read_batch_metrics", "compact_store",
 ]

@@ -606,3 +606,66 @@ class TestIncrementalDedupStream:
         assert int(m.n_images.sum()) == 24  # 21 originals + 3 planted dups
         assert int(m.n_pairs.sum()) == len(got)
         assert (m.secs > 0).all() and (m.images_per_sec > 0).all()
+
+    def test_compaction_between_runs_preserves_pairs(self, spark, tmp_path):
+        """compact_store merges the signature store into one dir between
+        stream runs; the restarted stream joins new batches against the
+        compacted prefix and the final pair union still equals the one-shot
+        batch join (no lost, no duplicated pairs)."""
+        import os
+
+        from osm2mp_spark.operators.images import (
+            dhash_wide_images,
+            wide_hamming_pairs,
+        )
+        from osm2mp_spark.streaming.dedup import (
+            _store_dirs,
+            compact_store,
+            read_pairs,
+            start_incremental_dedup,
+        )
+
+        land = tmp_path / "landing"
+        land.mkdir()
+        store, pairs, ckpt = (
+            str(tmp_path / "store"), str(tmp_path / "pairs"),
+            str(tmp_path / "ckpt"),
+        )
+        self._land(spark, land, 0, 7)
+        self._land(spark, land, 7, 14)
+        schema = spark.read.parquet(str(land)).schema
+
+        def run():
+            q = start_incremental_dedup(
+                spark, str(land), schema, store, pairs, ckpt,
+                max_hamming=7, max_files_per_trigger=1,
+            )
+            try:
+                q.awaitTermination()
+            finally:
+                q.stop()
+
+        run()
+        horizon = compact_store(spark, store)
+        assert horizon == 2  # batches 0 and 1 merged
+        # store now reads ONE compacted dir (no batch tail yet)
+        dirs = _store_dirs(store, below=2)
+        assert len(dirs) == 1 and dirs[0].endswith("compacted=2")
+        # a second compaction with no new batches is a no-op at horizon 2
+        assert compact_store(spark, store) == 2
+
+        self._land(spark, land, 14, 21)   # cross-file dup vs batch 0-1 era
+        run()
+        got = read_pairs(spark, pairs).toPandas()
+        batch = wide_hamming_pairs(
+            dhash_wide_images(spark.read.parquet(str(land))), max_hamming=7
+        ).toPandas()
+        a = got.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        b = batch.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        assert len(a) == len(b) == 3
+        assert (a.id_a == b.id_a).all() and (a.id_b == b.id_b).all()
+        assert not got.duplicated(["id_a", "id_b"]).any()
+        # post-restart store = compacted prefix + the new batch dir
+        dirs = _store_dirs(store)
+        assert any(d.endswith("compacted=2") for d in dirs)
+        assert sum(os.path.basename(d).startswith("batch=") for d in dirs) == 1
