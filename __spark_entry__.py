@@ -70,11 +70,17 @@ def _gate_priority_order(names: list[str]) -> list[str]:
             continue
         # a rows-only record (hash_match null — the query had no oracle
         # that round) does NOT count as verified: such queries keep top
-        # priority until an exact-gate row exists for them
-        keys = {
-            n for n, rec in data.items()
-            if not isinstance(rec, dict) or rec.get("hash_match")
-        }
+        # priority until an exact-gate row exists for them. Artifacts that
+        # are a bare list of names (no per-query records) count as checked.
+        if isinstance(data, dict):
+            keys = {
+                n for n, rec in data.items()
+                if not isinstance(rec, dict) or rec.get("hash_match")
+            }
+        elif isinstance(data, list):
+            keys = {n for n in data if isinstance(n, str)}
+        else:
+            continue
         ever |= keys
         if p == artifacts[-1]:
             newest = keys

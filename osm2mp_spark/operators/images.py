@@ -252,20 +252,8 @@ def dhash_images(df: DataFrame) -> DataFrame:
             for r in pdf.itertuples():
                 px = decode(bytes(r.bytes), r.fmt)
                 gray = px.astype(np.int64).sum(axis=2)  # r+g+b, exact
-                h, w = gray.shape
-                yb = (np.arange(9) * h) // 8
-                xb = (np.arange(10) * w) // 9
-                pref = np.zeros((h + 1, w + 1), dtype=np.int64)
-                np.cumsum(np.cumsum(gray, axis=0), axis=1, out=pref[1:, 1:])
-                s = (
-                    pref[yb[1:, None], xb[None, 1:]]
-                    - pref[yb[:-1, None], xb[None, 1:]]
-                    - pref[yb[1:, None], xb[None, :-1]]
-                    + pref[yb[:-1, None], xb[None, :-1]]
-                )
-                cnt = (yb[1:] - yb[:-1])[:, None] * (xb[1:] - xb[:-1])[None, :]
-                bits = (s[:, 1:] * cnt[:, :-1] > s[:, :-1] * cnt[:, 1:]).flatten()
-                rows.append((r.image_id, _pack64(bits)))
+                s, cnt = _block_sums(gray, 8, 9)
+                rows.append((r.image_id, _pack64(_compare_bits(s, cnt, 1))))
             yield pd.DataFrame(rows, columns=["image_id", "dhash"])
 
     from ..shipping import ensure_shipped

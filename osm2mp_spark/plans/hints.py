@@ -31,6 +31,23 @@ def broadcast_threshold(df: DataFrame) -> int:
         return _DEFAULT_MAX_ROWS
 
 
+def parquet_row_count(path: str) -> int:
+    """Row count of a parquet file/dir from FOOTER metadata only — a
+    driver-side pyarrow read, no Spark job, so broadcast gates can size
+    themselves at plan-construction time without breaking laziness."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def maybe_broadcast(df: DataFrame, est_rows: int) -> DataFrame:
     """Broadcast-hint `df` only if the caller's (upper-bound) row estimate
     fits under `spark.osm2mp.broadcast.maxRows`; otherwise return it

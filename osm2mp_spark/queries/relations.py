@@ -366,16 +366,18 @@ def entrance_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
     rings = blds.select(
         "building_id", F.posexplode("ring").alias("pos", "node_id")
     )
-    from ..plans.hints import maybe_broadcast
+    from ..plans.hints import maybe_broadcast, parquet_row_count
 
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
     entr = part.filter("p_partkey % 23 = 0").select(
         F.col("p_partkey").cast("bigint").alias("node_id")
     )
     # entrance nodes are FACT-derived (~1/23 of parts), so the broadcast is
-    # size-gated: past the ceiling this becomes a shuffled equi-join
+    # size-gated; the estimate comes from parquet footers (driver-side, no
+    # job) so query construction stays lazy
+    n_part = parquet_row_count(f"{sf_dir}/part.parquet")
     hit = (
-        rings.join(maybe_broadcast(entr, est_rows=part.count() // 23 + 1),
+        rings.join(maybe_broadcast(entr, est_rows=n_part // 23 + 1),
                    "node_id")
         .groupBy("building_id")
         .agg(F.min_by("node_id", "pos").alias("entrance_node"))

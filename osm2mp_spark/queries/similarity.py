@@ -284,12 +284,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nb"),
     )
     # The norms frame is CORPUS-sized (one row per vector), so the lookback
-    # broadcast must be size-gated: parquet-footer count is a metadata-only
-    # job, and past the ceiling the planner shuffles instead (sort-merge on
-    # vec_id — the candidate side is already shuffled by the distinct).
-    from ..plans.hints import maybe_broadcast
+    # broadcast must be size-gated: the estimate reads parquet footers
+    # driver-side (no Spark job — construction stays lazy), and past the
+    # ceiling the planner shuffles instead (sort-merge on vec_id — the
+    # candidate side is already shuffled by the distinct).
+    from ..plans.hints import maybe_broadcast, parquet_row_count
 
-    n_vec = _emb(spark, sf_dir).count()
+    n_vec = parquet_row_count(f"{sf_dir}/embeddings.parquet")
     pairs = (
         cand.join(maybe_broadcast(na, est_rows=n_vec), "vec_a")
         .join(maybe_broadcast(nb, est_rows=n_vec), "vec_b")

@@ -48,12 +48,14 @@ def osm_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'name', concat('node ', CAST(o_orderkey AS STRING))"
         ") END AS tags",
     )
-    # Unique per Spark application: two concurrent runs against the same
-    # sf dir (driver gate + local mirror, parallel pytest) must not race on
-    # overwrite-while-read of a shared fixed path.
-    app_id = spark.sparkContext.applicationId
-    path = (
-        f"/tmp/osm_xml_rt_{os.path.basename(os.path.normpath(sf_dir))}_{app_id}"
+    # Unique per Spark application (concurrent runs must not race on a
+    # shared fixed path) with stale-sibling sweeping (unique paths would
+    # otherwise accumulate in /tmp forever).
+    from ..scratch import scratch_dir
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    path = scratch_dir(
+        f"osm_xml_rt_{sf_name}", spark.sparkContext.applicationId
     )
     write_osm_xml_nodes(nodes, path)
     parsed = read_osm_nodes(spark, path)

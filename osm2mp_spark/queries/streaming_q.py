@@ -64,15 +64,16 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch join, so the gate runs the SAME all-pairs oracle as
     image_dedup_wide."""
     import os
-    import shutil
 
     from .images_q import _n_for
+    from ..scratch import scratch_dir
     from ..sources.images import generate_phash_corpus_df
     from ..streaming.dedup import read_pairs, start_incremental_dedup
 
-    app_id = spark.sparkContext.applicationId
-    base = f"/tmp/osm2mp_inc_dedup_{os.path.basename(os.path.normpath(sf_dir))}_{app_id}"
-    shutil.rmtree(base, ignore_errors=True)
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    base = scratch_dir(
+        f"osm2mp_inc_dedup_{sf_name}", spark.sparkContext.applicationId
+    )
     land = os.path.join(base, "landing")
     corpus = generate_phash_corpus_df(spark, _n_for(spark, sf_dir))
     # 4 landing files → 4 micro-batches at maxFilesPerTrigger=1

@@ -138,7 +138,10 @@ def write_osm_xml_nodes(nodes: DataFrame, path: str) -> None:
         # partition larger than arrow.maxRecordsPerBatch arrives as several
         # batches, and emitting one <osm> doc per batch would concatenate
         # multiple documents into one text-sink file — which the wholetext
-        # reader (one document per file) cannot parse.
+        # reader (one document per file) cannot parse. NB: one-document-
+        # per-partition necessarily buffers the partition's rendered text
+        # in the Python worker — size partitions (repartition upstream) so
+        # a document fits comfortably in worker memory.
         parts = []
         for pdf in it:
             parts.append(
@@ -147,6 +150,8 @@ def write_osm_xml_nodes(nodes: DataFrame, path: str) -> None:
                     for r in pdf.itertuples()
                 )
             )
+        if not parts:  # empty partition → no file, not an empty document
+            return
         body = "".join(parts)
         yield pd.DataFrame(
             {"value": [f"<?xml version='1.0'?><osm version=\"0.6\">{body}</osm>"]}

@@ -60,20 +60,24 @@ def _compacted_dir(root: str) -> tuple[str | None, int]:
 
 def _store_dirs(root: str, below: int | None = None) -> list[str]:
     """Directories whose union is the signatures of all batches < `below`:
-    the newest compacted prefix plus the uncompacted batch tail. A replayed
-    batch can never predate the compaction horizon (the streaming
-    checkpoint only replays the in-flight batch, and compact_store refuses
-    to cover it), asserted here because silently double-counting a batch
-    present in BOTH the compacted dir and its own dir would emit duplicate
-    pairs."""
+    the newest compacted prefix plus the uncompacted batch tail.
+
+    Horizon check: the streaming checkpoint only ever replays the single
+    in-flight batch, and compact_store only covers metrics-certified
+    batches, so a (re)processed batch id can sit AT the horizon (n ==
+    below + 1: certified-but-uncommitted crash window — safe, because the
+    replayed batch's signatures appearing both fresh and inside the
+    compacted dir collapse in pairs_touching's canonical distinct) but
+    never BELOW it; n > below + 1 means the store was compacted while the
+    stream ran, which WOULD silently change join inputs — refuse."""
     comp, n = _compacted_dir(root)
     if comp is None:
         return _batch_dirs(root, below)
-    if below is not None and n > below:
+    if below is not None and n > below + 1:
         raise RuntimeError(
             f"store compacted through batch {n} but batch {below} is being "
-            f"(re)processed — compact_store must only run on batches the "
-            f"stream has committed"
+            f"(re)processed — compact_store must only run between stream "
+            f"runs"
         )
     tail = [
         d for d in _batch_dirs(root, below)
@@ -84,14 +88,31 @@ def _store_dirs(root: str, below: int | None = None) -> list[str]:
 
 def compact_store(spark: SparkSession, store_path: str) -> int:
     """Merge the accumulated signature store (compacted prefix + every
-    closed `batch=<id>` dir) into a single `compacted=<max_id+1>` dir and
-    drop the merged inputs. Run BETWEEN stream runs (never while the query
-    is active): at one dir per micro-batch a long-lived ingest accumulates
-    unbounded directory listings; compaction bounds store reads to one
-    merged dir + the tail since the last compaction. Atomic via
-    write-to-tmp + rename; returns the new horizon N (0 = nothing to do)."""
+    COMPLETED `batch=<id>` dir) into a single `compacted=<max_id+1>` dir
+    and drop the merged inputs. Run BETWEEN stream runs (never while the
+    query is active): at one dir per micro-batch a long-lived ingest
+    accumulates unbounded directory listings; compaction bounds store reads
+    to one merged dir + the tail since the last compaction. Atomic via
+    write-to-tmp + rename; returns the new horizon N (0 = nothing to do).
+
+    Only batches CERTIFIED by a metrics row are eligible: a crash can leave
+    store/batch=b written but the streaming checkpoint uncommitted, and the
+    restarted stream will REPLAY batch b — if compaction had swallowed it,
+    _store_dirs' horizon guard would refuse the replay forever. The metrics
+    row is written last in process(), so its presence proves the batch's
+    store+pairs output is complete (the checkpoint commit may still be
+    missing, but a replay over a compacted horizon N == b is then
+    indistinguishable from the committed run: same store prefix, same
+    idempotent overwrite outputs)."""
     comp, comp_n = _compacted_dir(store_path)
-    batches = _batch_dirs(store_path)
+    certified = {
+        int(re.search(r"batch=(\d+)$", d).group(1))
+        for d in _batch_dirs(os.path.join(store_path, "metrics"))
+    }
+    batches = [
+        d for d in _batch_dirs(store_path)
+        if int(re.search(r"batch=(\d+)$", d).group(1)) in certified
+    ]
     if not batches:
         return comp_n
     ids = [int(re.search(r"batch=(\d+)$", d).group(1)) for d in batches]

@@ -125,3 +125,37 @@ class TestOsmXmlSource:
             assert back.select("node_id").distinct().count() == 400
         finally:
             spark.conf.set(key, old)
+
+
+class TestScratchSweep:
+    def test_scratch_dir_sweeps_stale_siblings(self, tmp_path):
+        import os
+        import time
+
+        from osm2mp_spark.scratch import scratch_dir
+
+        base = str(tmp_path)
+        stale = os.path.join(base, "pfx_oldapp")
+        fresh = os.path.join(base, "pfx_newapp")
+        other = os.path.join(base, "unrelated_dir")
+        for d in (stale, fresh, other):
+            os.makedirs(d)
+        old = time.time() - 3 * 3600
+        os.utime(stale, (old, old))
+
+        mine = scratch_dir("pfx", "myapp", base=base, max_age_s=2 * 3600)
+        assert mine == os.path.join(base, "pfx_myapp")
+        assert not os.path.exists(stale)      # old sibling swept
+        assert os.path.isdir(fresh)           # young sibling untouched
+        assert os.path.isdir(other)           # different prefix untouched
+
+    def test_scratch_dir_removes_own_preexisting(self, tmp_path):
+        import os
+
+        from osm2mp_spark.scratch import scratch_dir
+
+        base = str(tmp_path)
+        mine = os.path.join(base, "p_a")
+        os.makedirs(os.path.join(mine, "leftover"))
+        got = scratch_dir("p", "a", base=base)
+        assert got == mine and not os.path.exists(mine)
