@@ -669,3 +669,49 @@ class TestIncrementalDedupStream:
         dirs = _store_dirs(store)
         assert any(d.endswith("compacted=2") for d in dirs)
         assert sum(os.path.basename(d).startswith("batch=") for d in dirs) == 1
+
+    def test_compaction_skips_uncertified_batches(self, spark, tmp_path):
+        """A crash can leave store/batch=b written with no metrics row
+        (metrics is written LAST). compact_store must leave such a batch
+        out of the merge so the checkpoint replay of batch b finds the
+        store exactly as the original run did."""
+        import os
+        import shutil
+
+        from osm2mp_spark.streaming.dedup import (
+            _store_dirs,
+            compact_store,
+            read_pairs,
+            start_incremental_dedup,
+        )
+
+        land = tmp_path / "landing"
+        land.mkdir()
+        store, pairs, ckpt = (
+            str(tmp_path / "store"), str(tmp_path / "pairs"),
+            str(tmp_path / "ckpt"),
+        )
+        self._land(spark, land, 0, 7)
+        self._land(spark, land, 7, 14)
+        schema = spark.read.parquet(str(land)).schema
+        q = start_incremental_dedup(
+            spark, str(land), schema, store, pairs, ckpt,
+            max_hamming=7, max_files_per_trigger=1,
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        # simulate the crash window: batch 1's metrics row never landed
+        shutil.rmtree(os.path.join(store, "metrics", "batch=000000001"))
+        horizon = compact_store(spark, store)
+        assert horizon == 1  # only certified batch 0 merged
+        dirs = _store_dirs(store)
+        assert any(d.endswith("compacted=1") for d in dirs)
+        # batch 1's signature dir survives for the replay
+        assert any(d.endswith("batch=000000001") for d in dirs)
+        assert not any(d.endswith("batch=000000000") for d in dirs)
+        # store contents unchanged as a whole
+        n = spark.read.parquet(*_store_dirs(store)).count()
+        assert n == 16  # 14 originals + 2 planted dups
+        assert read_pairs(spark, pairs).count() == 2
