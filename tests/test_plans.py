@@ -194,3 +194,32 @@ class TestLateRound3PlanShapes:
             assert p.count("Exchange") == 1, name
             assert "Join" not in p, name
             assert "Window" not in p, name
+
+
+class TestConditionalBroadcast:
+    def test_gated_broadcast_falls_back_to_shuffle(self, spark):
+        """maybe_broadcast keeps the hint under the ceiling and drops it
+        above: with the ceiling forced to 1 row, the image ANN candidate
+        join must plan WITHOUT a broadcast of the query side (VERDICT r03:
+        unconditional F.broadcast of a corpus-derived frame OOMs at
+        10^12)."""
+        import __spark_entry__ as E
+
+        key = "spark.osm2mp.broadcast.maxRows"
+        auto = "spark.sql.autoBroadcastJoinThreshold"
+        old_auto = spark.conf.get(auto)
+        spark.conf.set(auto, "-1")  # isolate the explicit hint
+        try:
+            spark.conf.set(key, "1")
+            low = E.queries()["image_ann_topk"](spark, "/root/testdata/sf0.001")
+            plan_low = low._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" not in plan_low
+            assert "CartesianProduct" not in plan_low
+
+            spark.conf.set(key, str(4_000_000))
+            hi = E.queries()["image_ann_topk"](spark, "/root/testdata/sf0.001")
+            plan_hi = hi._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" in plan_hi
+        finally:
+            spark.conf.unset(key)
+            spark.conf.set(auto, old_auto)
