@@ -715,3 +715,41 @@ class TestIncrementalDedupStream:
         n = spark.read.parquet(*_store_dirs(store)).count()
         assert n == 16  # 14 originals + 2 planted dups
         assert read_pairs(spark, pairs).count() == 2
+
+    def test_union_invariant_over_arbitrary_batch_splits(self, spark):
+        """The incremental math itself (pairs_touching over a growing
+        store), independent of streaming machinery: for ANY partition of a
+        corpus into ordered batches, the union of per-batch emissions
+        equals the one-shot batch join — no batch boundary placement can
+        lose or duplicate a pair."""
+        from osm2mp_spark.operators.images import (
+            dhash_wide_images,
+            wide_hamming_pairs,
+        )
+        from osm2mp_spark.sources.images import generate_phash_corpus_df
+        from osm2mp_spark.streaming.dedup import pairs_touching
+
+        sigs = dhash_wide_images(
+            generate_phash_corpus_df(spark, 21, dup_every=7)
+        ).localCheckpoint(eager=False)
+        rows = sorted(sigs.collect(), key=lambda r: r.image_id)
+        expected = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in wide_hamming_pairs(sigs, max_hamming=7).collect()
+        }
+        schema = "image_id string, h0 long, h1 long, h2 long, h3 long"
+        # two very different splits: singleton batches; lopsided 1/22/1
+        for cuts in ([1] * len(rows), [1, len(rows) - 2, 1]):
+            got, store = set(), []
+            i = 0
+            for c in cuts:
+                batch = rows[i:i + c]
+                i += c
+                new = spark.createDataFrame(batch, schema)
+                allv = spark.createDataFrame(store + batch, schema)
+                got |= {
+                    (r.id_a, r.id_b, r.hamming)
+                    for r in pairs_touching(new, allv, max_hamming=7).collect()
+                }
+                store += batch
+            assert got == expected, f"split {cuts[:3]}... diverged"
