@@ -16,8 +16,9 @@ assignment, and every per-batch output (signatures into the store, pairs
 into the pairs dir) goes to a `batch=<id>` directory written with
 mode=overwrite — a re-executed batch recomputes byte-identical content
 (deterministic kernel) over the same store prefix (store = batches < id),
-so replays are idempotent. Local paths here; swap the os.listdir for a
-Hadoop FS listing on a real cluster — the per-batch layout is unchanged.
+so replays are idempotent. Store paths may be plain local paths or URIs
+(file://, hdfs://, s3a://): Spark's reads/writes are scheme-transparent,
+and the listing/delete/rename helpers below route URIs through Hadoop FS.
 """
 
 from __future__ import annotations
@@ -34,14 +35,64 @@ from ..operators.images import (
 )
 
 
-def _batch_dirs(root: str, below: int | None = None) -> list[str]:
-    if not os.path.isdir(root):
+# --- filesystem access: plain os for local paths, Hadoop FS for URI paths
+# (hdfs://, s3a://, file://, ...) so the store works on cluster storage.
+# Spark's own reads/writes are scheme-transparent already; only the
+# listing / delete / rename below are os-level.
+
+_SPARK_FOR_FS: list[SparkSession | None] = [None]
+
+
+def _is_uri(p: str) -> bool:
+    return "://" in p
+
+
+def _hadoop_fs(p: str):
+    spark = _SPARK_FOR_FS[0] or SparkSession.getActiveSession()
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(p)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def _listdir(root: str) -> list[str]:
+    if not _is_uri(root):
+        return sorted(os.listdir(root)) if os.path.isdir(root) else []
+    fs, jvm = _hadoop_fs(root)
+    jpath = jvm.org.apache.hadoop.fs.Path(root)
+    if not fs.exists(jpath):
         return []
+    return sorted(st.getPath().getName() for st in fs.listStatus(jpath))
+
+
+def _rmtree(p: str) -> None:
+    if not _is_uri(p):
+        import shutil
+
+        shutil.rmtree(p, ignore_errors=True)
+        return
+    fs, jvm = _hadoop_fs(p)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(p), True)
+
+
+def _rename(src: str, dst: str) -> None:
+    if not _is_uri(src):
+        os.rename(src, dst)
+        return
+    fs, jvm = _hadoop_fs(src)
+    P = jvm.org.apache.hadoop.fs.Path
+    fs.rename(P(src), P(dst))
+
+
+def _join(root: str, name: str) -> str:
+    return root.rstrip("/") + "/" + name
+
+
+def _batch_dirs(root: str, below: int | None = None) -> list[str]:
     out = []
-    for d in sorted(os.listdir(root)):
+    for d in _listdir(root):
         m = re.fullmatch(r"batch=(\d+)", d)
         if m and (below is None or int(m.group(1)) < below):
-            out.append(os.path.join(root, d))
+            out.append(_join(root, d))
     return out
 
 
@@ -50,11 +101,10 @@ def _compacted_dir(root: str) -> tuple[str | None, int]:
     into one directory) and its N; (None, 0) when the store has never been
     compacted."""
     best, best_n = None, 0
-    if os.path.isdir(root):
-        for d in os.listdir(root):
-            m = re.fullmatch(r"compacted=(\d+)", d)
-            if m and int(m.group(1)) > best_n:
-                best, best_n = os.path.join(root, d), int(m.group(1))
+    for d in _listdir(root):
+        m = re.fullmatch(r"compacted=(\d+)", d)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = _join(root, d), int(m.group(1))
     return best, best_n
 
 
@@ -107,7 +157,7 @@ def compact_store(spark: SparkSession, store_path: str) -> int:
     comp, comp_n = _compacted_dir(store_path)
     certified = {
         int(re.search(r"batch=(\d+)$", d).group(1))
-        for d in _batch_dirs(os.path.join(store_path, "metrics"))
+        for d in _batch_dirs(_join(store_path, "metrics"))
     }
     batches = [
         d for d in _batch_dirs(store_path)
@@ -120,19 +170,18 @@ def compact_store(spark: SparkSession, store_path: str) -> int:
     srcs = ([comp] if comp else []) + [
         d for d, i in zip(batches, ids) if i >= comp_n
     ]
-    tmp = os.path.join(store_path, f"compacted={horizon}.tmp")
-    final = os.path.join(store_path, f"compacted={horizon}")
-    import shutil
-
-    shutil.rmtree(tmp, ignore_errors=True)
+    _SPARK_FOR_FS[0] = spark
+    tmp = _join(store_path, f"compacted={horizon}.tmp")
+    final = _join(store_path, f"compacted={horizon}")
+    _rmtree(tmp)
     spark.read.parquet(*srcs).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(final, ignore_errors=True)
-    os.rename(tmp, final)
+    _rmtree(final)
+    _rename(tmp, final)
     for d, i in zip(batches, ids):
         if i < horizon:
-            shutil.rmtree(d, ignore_errors=True)
+            _rmtree(d)
     if comp:
-        shutil.rmtree(comp, ignore_errors=True)
+        _rmtree(comp)
     return horizon
 
 
@@ -192,11 +241,13 @@ def start_incremental_dedup(
     signatures + incremental banded join against the store. Returns the
     StreamingQuery (caller drives processAllAvailable / awaitTermination)."""
 
+    _SPARK_FOR_FS[0] = spark
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         import time
 
         t0 = time.time()
-        sig_dir = os.path.join(store_path, f"batch={batch_id:09d}")
+        sig_dir = _join(store_path, f"batch={batch_id:09d}")
         (
             dhash_wide_images(batch_df)
             .write.mode("overwrite")
@@ -208,7 +259,7 @@ def start_incremental_dedup(
         all_sigs = (
             spark.read.parquet(sig_dir, *prev) if prev else new
         )
-        out = os.path.join(pairs_path, f"batch={batch_id:09d}")
+        out = _join(pairs_path, f"batch={batch_id:09d}")
         pairs_touching(new, all_sigs, max_hamming).write.mode(
             "overwrite"
         ).parquet(out)
@@ -225,7 +276,7 @@ def start_incremental_dedup(
             "batch_id long, n_images long, n_pairs long, secs double, "
             "images_per_sec double",
         ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(store_path, "metrics", f"batch={batch_id:09d}")
+            _join(_join(store_path, "metrics"), f"batch={batch_id:09d}")
         )
 
     reader = spark.readStream.schema(schema)
@@ -255,7 +306,7 @@ def read_batch_metrics(spark: SparkSession, store_path: str) -> DataFrame:
     secs, images_per_sec) — the mid-run resume ledger: a batch with a
     metrics row is complete; absent rows re-run from the streaming
     checkpoint."""
-    dirs = _batch_dirs(os.path.join(store_path, "metrics"))
+    dirs = _batch_dirs(_join(store_path, "metrics"))
     if not dirs:
         return spark.createDataFrame(
             [],

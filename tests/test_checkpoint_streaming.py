@@ -753,3 +753,46 @@ class TestIncrementalDedupStream:
                 }
                 store += batch
             assert got == expected, f"split {cuts[:3]}... diverged"
+
+    def test_uri_store_paths_via_hadoop_fs(self, spark, tmp_path):
+        """Store/pairs/checkpoint given as file:// URIs exercise the
+        Hadoop-FS listing/delete/rename lane (the same code path an
+        hdfs:// or s3a:// store takes on a cluster) end-to-end, including
+        compaction."""
+        from osm2mp_spark.operators.images import (
+            dhash_wide_images,
+            wide_hamming_pairs,
+        )
+        from osm2mp_spark.streaming.dedup import (
+            _store_dirs,
+            compact_store,
+            read_pairs,
+            start_incremental_dedup,
+        )
+
+        land = tmp_path / "landing"
+        land.mkdir()
+        self._land(spark, land, 0, 14)
+        schema = spark.read.parquet(str(land)).schema
+        store = f"file://{tmp_path}/store"
+        pairs = f"file://{tmp_path}/pairs"
+        ckpt = f"file://{tmp_path}/ckpt"
+        q = start_incremental_dedup(
+            spark, str(land), schema, store, pairs, ckpt,
+            max_hamming=7, max_files_per_trigger=1,
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        got = read_pairs(spark, pairs).toPandas()
+        batch = wide_hamming_pairs(
+            dhash_wide_images(spark.read.parquet(str(land))), max_hamming=7
+        ).toPandas()
+        assert len(got) == len(batch) == 2
+        horizon = compact_store(spark, store)
+        assert horizon >= 1
+        dirs = _store_dirs(store)
+        assert dirs and dirs[0].startswith("file://")
+        n = spark.read.parquet(*dirs).count()
+        assert n == 16
