@@ -376,9 +376,9 @@ def entrance_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size-gated; the estimate comes from parquet footers (driver-side, no
     # job) so query construction stays lazy
     n_part = parquet_row_count(f"{sf_dir}/part.parquet")
+    est = None if n_part is None else n_part // 23 + 1
     hit = (
-        rings.join(maybe_broadcast(entr, est_rows=n_part // 23 + 1),
-                   "node_id")
+        rings.join(maybe_broadcast(entr, est_rows=est), "node_id")
         .groupBy("building_id")
         .agg(F.min_by("node_id", "pos").alias("entrance_node"))
     )

@@ -17,22 +17,42 @@ import shutil
 import time
 
 
+def _is_stale(root: str, cutoff: float) -> bool:
+    """True when NOTHING under `root` has been modified since `cutoff`.
+    A run longer than the sweep age that only writes inside nested subdirs
+    (streaming store/checkpoint batch dirs) never refreshes the top-level
+    mtime, so staleness is judged by the newest mtime found in a walk —
+    aborting early (not stale) the moment any fresh entry is seen, which
+    makes the live-dir case cheap."""
+    try:
+        if os.path.getmtime(root) > cutoff:
+            return False
+        for dirpath, dirnames, filenames in os.walk(root):
+            for name in dirnames + filenames:
+                try:
+                    if os.path.getmtime(os.path.join(dirpath, name)) > cutoff:
+                        return False
+                except OSError:
+                    continue
+    except OSError:
+        return False
+    return True
+
+
 def scratch_dir(prefix: str, app_id: str, base: str = "/tmp",
                 max_age_s: int = 2 * 3600) -> str:
     """`<base>/<prefix>_<app_id>` (removed if it pre-exists from this same
-    app), sweeping stale `<prefix>_*` siblings past max_age_s."""
+    app), sweeping `<prefix>_*` siblings whose ENTIRE tree is older than
+    max_age_s."""
     mine = os.path.join(base, f"{prefix}_{app_id}")
-    now = time.time()
+    cutoff = time.time() - max_age_s
     try:
         for d in os.listdir(base):
             if not d.startswith(prefix + "_") or d == os.path.basename(mine):
                 continue
             p = os.path.join(base, d)
-            try:
-                if now - os.path.getmtime(p) > max_age_s:
-                    shutil.rmtree(p, ignore_errors=True)
-            except OSError:
-                continue
+            if _is_stale(p, cutoff):
+                shutil.rmtree(p, ignore_errors=True)
     except OSError:
         pass
     shutil.rmtree(mine, ignore_errors=True)

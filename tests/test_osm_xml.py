@@ -159,3 +159,34 @@ class TestScratchSweep:
         os.makedirs(os.path.join(mine, "leftover"))
         got = scratch_dir("p", "a", base=base)
         assert got == mine and not os.path.exists(mine)
+
+    def test_scratch_dir_spares_dir_with_fresh_nested_writes(self, tmp_path):
+        """A long-lived run that only writes inside NESTED subdirs (e.g.
+        streaming store batch dirs) keeps its scratch dir alive: staleness
+        is judged by the newest mtime anywhere in the tree, not the
+        top-level dir's."""
+        import os
+        import time
+
+        from osm2mp_spark.scratch import scratch_dir
+
+        base = str(tmp_path)
+        live = os.path.join(base, "pfx_longrun")
+        nested = os.path.join(live, "store", "batch=000000042")
+        os.makedirs(nested)
+        old = time.time() - 3 * 3600
+        # top levels look ancient ...
+        for d in (live, os.path.join(live, "store")):
+            os.utime(d, (old, old))
+        # ... but a nested batch dir was just written
+        with open(os.path.join(nested, "part-0"), "w") as f:
+            f.write("x")
+
+        scratch_dir("pfx", "other", base=base, max_age_s=2 * 3600)
+        assert os.path.isdir(live)  # spared: fresh nested write
+
+        # and with the nested file aged too, the whole tree goes
+        os.utime(os.path.join(nested, "part-0"), (old, old))
+        os.utime(nested, (old, old))
+        scratch_dir("pfx", "other2", base=base, max_age_s=2 * 3600)
+        assert not os.path.exists(live)
