@@ -91,3 +91,62 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return read_pairs(spark, os.path.join(base, "pairs"))
+
+
+def _incremental_ann_oracle() -> str | None:
+    # Identical oracle to image_ann_topk_wide: the incrementally-maintained
+    # top-k state must equal the one-shot batch top-k (see streaming.ann).
+    from .images_q import _ann_topk_wide_oracle
+
+    return _ann_topk_wide_oracle()
+
+
+@register("streaming_incremental_ann", oracle=_incremental_ann_oracle())
+def streaming_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN top-k maintenance (VERDICT r04 ask #3): the ANN
+    corpus streams in file-by-file; each micro-batch's incremental pairs
+    are folded into a per-query top-k state (delta writes for touched
+    queries only, previous state read through query-id row-group pruning).
+    Mid-run, both the signature store AND the ANN state are compacted
+    (exercising the pruned at-scale read paths). The final state must
+    equal the one-shot image_ann_topk_wide — same DuckDB oracle."""
+    import os
+
+    from .images_q import _n_for
+    from ..scratch import scratch_dir
+    from ..sources.images import generate_phash_corpus_df
+    from ..streaming.ann import compact_topk_state, read_topk
+    from ..streaming.dedup import compact_store, start_incremental_dedup
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    base = scratch_dir(
+        f"osm2mp_inc_ann_{sf_name}", spark.sparkContext.applicationId
+    )
+    land = os.path.join(base, "landing")
+    corpus = generate_phash_corpus_df(spark, _n_for(spark, sf_dir), variants=2)
+    corpus.repartition(4).write.mode("overwrite").parquet(land)
+    schema = spark.read.parquet(land).schema
+    store = os.path.join(base, "store")
+    state = os.path.join(base, "state")
+
+    def hook(batch_id):
+        if batch_id == 1:  # compact mid-stream: later batches take the
+            compact_store(spark, store)  # pruned-scan store path
+            compact_topk_state(spark, state, store)
+
+    q = start_incremental_dedup(
+        spark, land, schema,
+        store_path=store,
+        pairs_path=os.path.join(base, "pairs"),
+        checkpoint_path=os.path.join(base, "ckpt"),
+        max_hamming=7, max_files_per_trigger=1,
+        on_batch_complete=hook,
+        ann_state_path=state,
+        ann_query_pred="{col} LIKE '%d' OR {col} LIKE '%e'",
+        ann_k=3,
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return read_topk(spark, state)

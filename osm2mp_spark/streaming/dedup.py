@@ -445,10 +445,18 @@ def start_incremental_dedup(
     max_hamming: int = 7,
     max_files_per_trigger: int | None = 1,
     on_batch_complete=None,
+    ann_state_path: str | None = None,
+    ann_query_pred: str | None = None,
+    ann_k: int = 3,
 ):
     """readStream over an image-file landing zone → per-micro-batch wide
     signatures + incremental banded join against the store. Returns the
     StreamingQuery (caller drives processAllAvailable / awaitTermination).
+
+    With `ann_state_path` + `ann_query_pred` set, each batch's pairs are
+    additionally folded into a per-query Hamming top-k state (streaming.ann
+    — incremental ANN maintenance), written BEFORE the certifying metrics
+    row so replays cover it.
 
     Store-side cost is bounded per batch: the compacted prefix is scanned
     via pruned_store_scan (parquet row-group pruning on the micro-batch's
@@ -513,6 +521,13 @@ def start_incremental_dedup(
             except Exception as e:  # mid-stream compaction listing race
                 if attempt or not _is_listing_race(e):
                     raise
+        if ann_state_path is not None:
+            from .ann import update_topk_state
+
+            update_topk_state(
+                spark, ann_state_path, int(batch_id),
+                spark.read.parquet(out), ann_query_pred, ann_k,
+            )
         read_bytes = _jvm_read_bytes() - r0
         # per-batch lineage + throughput record (north_rule: resumable with
         # per-partition lineage + metrics). Same idempotent overwrite layout

@@ -1006,3 +1006,155 @@ class TestBandedStorePruning:
         assert len(a) == len(b) == 3
         assert (a.id_a == b.id_a).all() and (a.id_b == b.id_b).all()
         assert not got.duplicated(["id_a", "id_b"]).any()
+
+
+class TestIncrementalANN:
+    """streaming.ann: per-query top-k folded from the incremental pairs
+    stream — final state must equal the one-shot batch top-k."""
+
+    PRED = "{col} LIKE '%d' OR {col} LIKE '%e'"
+
+    def _one_shot(self, spark, land, k=3):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from osm2mp_spark.operators.images import (
+            dhash_wide_images,
+            wide_hamming_pairs,
+        )
+
+        sigs = dhash_wide_images(spark.read.parquet(str(land)))
+        pairs = wide_hamming_pairs(sigs, max_hamming=7)
+        a = pairs.filter("id_a LIKE '%d' OR id_a LIKE '%e'").selectExpr(
+            "id_a AS query_id", "id_b AS neighbor_id", "hamming"
+        )
+        b = pairs.filter("id_b LIKE '%d' OR id_b LIKE '%e'").selectExpr(
+            "id_b AS query_id", "id_a AS neighbor_id", "hamming"
+        )
+        w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+        return (
+            a.unionByName(b)
+            .withColumn("rnk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rnk") <= k)
+        )
+
+    def _land_variants(self, spark, d, lo, hi):
+        import pandas as pd
+
+        from osm2mp_spark.sources.images import phash_corpus_row
+
+        rows = []
+        for i in range(lo, hi):
+            rows.append(phash_corpus_row(i, dup=False))
+            if i % 3 == 0:  # two variant flavours => query ids %d / %e
+                rows.append(phash_corpus_row(i, dup=True))
+        spark.createDataFrame(pd.DataFrame(rows)).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d))
+
+    def _run(self, spark, land, base, hook=None):
+        from osm2mp_spark.streaming.dedup import start_incremental_dedup
+
+        schema = spark.read.parquet(str(land)).schema
+        q = start_incremental_dedup(
+            spark, str(land), schema,
+            store_path=f"{base}/store", pairs_path=f"{base}/pairs",
+            checkpoint_path=f"{base}/ckpt",
+            max_hamming=7, max_files_per_trigger=1,
+            on_batch_complete=hook,
+            ann_state_path=f"{base}/state", ann_query_pred=self.PRED,
+            ann_k=3,
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+
+    def _check(self, spark, land, base):
+        from osm2mp_spark.streaming.ann import read_topk
+
+        got = (
+            read_topk(spark, f"{base}/state").toPandas()
+            .sort_values(["query_id", "rnk"]).reset_index(drop=True)
+        )
+        exp = (
+            self._one_shot(spark, land).toPandas()
+            .sort_values(["query_id", "rnk"]).reset_index(drop=True)
+        )
+        assert len(got) == len(exp) > 0
+        for c in ("query_id", "neighbor_id", "hamming", "rnk"):
+            assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+    def test_streamed_topk_matches_one_shot_with_restart(
+        self, spark, tmp_path
+    ):
+        land = tmp_path / "landing"
+        land.mkdir()
+        base = str(tmp_path)
+        self._land_variants(spark, land, 0, 9)
+        self._land_variants(spark, land, 9, 18)
+        self._run(spark, land, base)
+        self._check(spark, land, base)
+        # more corpus lands; restart folds it into the existing state
+        self._land_variants(spark, land, 18, 27)
+        self._run(spark, land, base)
+        self._check(spark, land, base)
+
+    def test_deltas_touch_only_queries_with_new_candidates(
+        self, spark, tmp_path
+    ):
+        import glob
+
+        import pandas as pd
+
+        land = tmp_path / "landing"
+        land.mkdir()
+        base = str(tmp_path)
+        self._land_variants(spark, land, 0, 9)
+        self._land_variants(spark, land, 9, 18)
+        self._run(spark, land, base)
+        deltas = sorted(glob.glob(f"{base}/state/batch=*"))
+        assert len(deltas) >= 1
+        all_rows = pd.concat(
+            [pd.read_parquet(d) for d in deltas], ignore_index=True
+        )
+        # batch 1's delta only re-ranks queries touched by batch-1 pairs —
+        # each delta's query set is a subset of the full query population
+        per_batch = all_rows.groupby("state_batch").query_id.nunique()
+        total = all_rows.query_id.nunique()
+        assert (per_batch <= total).all()
+        # state rows carry provenance
+        assert set(all_rows.state_batch.unique()) <= {0, 1}
+
+    def test_compaction_gated_by_certification(self, spark, tmp_path):
+        import os
+        import shutil
+
+        from osm2mp_spark.streaming.ann import (
+            compact_topk_state,
+            read_topk,
+        )
+
+        land = tmp_path / "landing"
+        land.mkdir()
+        base = str(tmp_path)
+        self._land_variants(spark, land, 0, 9)
+        self._land_variants(spark, land, 9, 18)
+        self._run(spark, land, base)
+        before = read_topk(spark, f"{base}/state").toPandas()
+        # crash window: batch 1's metrics row vanishes → its state delta
+        # must be left out of the merge (replay will rewrite it)
+        shutil.rmtree(f"{base}/store/metrics/batch=000000001")
+        n = compact_topk_state(spark, f"{base}/state", f"{base}/store")
+        assert n == 1
+        assert os.path.isdir(f"{base}/state/compacted=1")
+        assert os.path.isdir(f"{base}/state/batch=000000001")
+        assert not os.path.exists(f"{base}/state/batch=000000000")
+        after = (
+            read_topk(spark, f"{base}/state").toPandas()
+            .sort_values(["query_id", "rnk"]).reset_index(drop=True)
+        )
+        b = before.sort_values(["query_id", "rnk"]).reset_index(drop=True)
+        assert len(after) == len(b)
+        for c in ("query_id", "neighbor_id", "hamming", "rnk"):
+            assert (after[c].to_numpy() == b[c].to_numpy()).all(), c
