@@ -382,6 +382,26 @@ def main():
     total += fl_sec
     rows_per_sec = fl_rows / fl_sec if fl_sec > 0 else 0.0
 
+    # flagship × wide-dedup composition (headline e2e covering the at-scale
+    # dedup path: bytes → wide sigs → banded pairs → clusters → keepers →
+    # fused PIP/BSP assignment → per-tile rollup); images/sec throughput
+    fd_imgs = 0
+    fd_sec = 0.0
+    if "flagship_dedup" in qs:
+        from osm2mp_spark.queries.images_q import _n_for
+        from osm2mp_spark.sources.images import generate_phash_corpus_df
+
+        fd_imgs = generate_phash_corpus_df(spark, _n_for(spark, SF_DIR)).count()
+        run_df(qs["flagship_dedup"](spark, SF_DIR))  # warm-up
+        fd_sec = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            run_df(qs["flagship_dedup"](spark, SF_DIR))
+            fd_sec = min(fd_sec, time.time() - t0)
+        # reported as its own headline row + throughput; NOT added to
+        # `total`, which stays definitionally comparable across rounds
+        per_query["flagship_dedup"] = round(fd_sec, 3)
+
     result = {
         "metric": "headline query wall time (spatial join + tiling engine)",
         "value": round(total, 3),
@@ -393,6 +413,9 @@ def main():
         "runs_per_query": rounds,
         "flagship_rows": fl_rows,
         "flagship_rows_per_sec": round(rows_per_sec, 1),
+        "flagship_dedup_images": fd_imgs,
+        "flagship_dedup_images_per_sec": round(fd_imgs / fd_sec, 1)
+        if fd_sec > 0 else 0.0,
     }
 
     spark.stop()

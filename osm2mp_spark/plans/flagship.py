@@ -53,11 +53,12 @@ def _bsp_tree_cached(spark):
     return _TREE_CACHE[key]
 
 
-def flagship_points(pts: DataFrame) -> DataFrame:
-    """Core flagship over any (point_id, lon, lat) frame: smallest-wins PIP
-    city containment (shuffle-free Arrow resolve) with expression-kNN
-    nearest-city fallback, then broadcast BSP tile descent and per-(city,
-    tile) counts. The only shuffle in the whole plan is the final count."""
+def flagship_assign(pts: DataFrame) -> DataFrame:
+    """Per-point flagship assignment over any (point_id, lon, lat, ...)
+    frame: smallest-wins PIP city containment (shuffle-free Arrow resolve)
+    with expression-kNN nearest-city fallback, plus broadcast BSP tile
+    descent — all carried columns flow through; adds (city_id, tile_id).
+    Zero shuffles."""
     from ..operators.fused import pip_bsp_fused
 
     idx = _city_index_cached()
@@ -69,10 +70,15 @@ def flagship_points(pts: DataFrame) -> DataFrame:
     )
     anchors = [(c["area_id"], c["center"][0], c["center"][1]) for c in CITIES]
     with_nn = knn_bruteforce(both, anchors, out_id="__nn_city").drop("dist_sq")
-    unioned = with_nn.withColumn(
+    return with_nn.withColumn(
         "city_id", F.coalesce("__pip_city", "__nn_city")
     ).drop("__pip_city", "__nn_city")
-    return unioned.groupBy("city_id", "tile_id").count()
+
+
+def flagship_points(pts: DataFrame) -> DataFrame:
+    """flagship_assign + per-(city, tile) counts. The only shuffle in the
+    whole plan is the final count."""
+    return flagship_assign(pts).groupBy("city_id", "tile_id").count()
 
 
 def flagship_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -636,3 +636,123 @@ def image_dedup_clusters_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n AS BIGINT) AS cluster_size",
         "(k = cl) AS keep",
     )
+
+
+# --- flagship × wide-dedup composition (VERDICT r04 ask #2): the headline
+# e2e covers the at-scale dedup path, not just geometry.
+
+
+@register(
+    "flagship_image_assign", oracle=golden_oracle("flagship_image_assign")
+)
+def flagship_image_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image flagship spatial assignment: every dedup-corpus image gets
+    a derived position (point_id = packed image key) and runs the flagship
+    kernel — fused PIP smallest-wins + BSP tile descent in one Arrow pass,
+    expression-kNN nearest-city fallback. Golden-gated; the spatial kernels
+    themselves are independently hash-verified (pip_city, knn_city,
+    bsp_tiles). This golden is the spatial leg of flagship_dedup's composed
+    oracle."""
+    from ..plans.flagship import flagship_assign
+    from ..sources.images import generate_phash_corpus_df
+    from ..sources.points import with_derived_position
+
+    corpus = generate_phash_corpus_df(spark, _n_for(spark, sf_dir))
+    keys = corpus.selectExpr(
+        "image_id", f"{_img_key('image_id')} AS point_id"
+    )
+    pts = with_derived_position(keys, "point_id")
+    return flagship_assign(pts).select(
+        "image_id", "city_id", F.col("tile_id").cast("int").alias("tile_id")
+    )
+
+
+def _flagship_dedup_oracle(max_hamming: int = 7) -> str | None:
+    """Composed oracle: recursive-CTE dedup clusters over the golden WIDE
+    signature table (independent all-pairs plan) joined to the golden
+    per-image spatial assignment, aggregated per (city, tile). The dedup
+    leg is fully independent of Spark's banded join; the spatial leg is
+    pinned by the flagship_image_assign golden (whose kernels are hash-
+    verified standalone)."""
+    from . import golden_path
+
+    sig = golden_path("image_dhash_wide")
+    assign = golden_path("flagship_image_assign")
+    if sig is None or assign is None:
+        return None
+    ham = " + ".join(
+        f"CAST(bit_count(xor(a.h{i}, b.h{i})) AS INT)" for i in range(4)
+    )
+    return f"""
+WITH RECURSIVE sigs AS (
+  SELECT image_id, h0, h1, h2, h3, {_img_key('image_id')} AS k
+  FROM read_parquet('{sig}')),
+pairs AS (
+  SELECT a.k AS ka, b.k AS kb FROM sigs a JOIN sigs b
+   ON a.image_id < b.image_id
+  WHERE {ham} <= {max_hamming}),
+und AS (SELECT ka AS a, kb AS b FROM pairs
+        UNION ALL SELECT kb AS a, ka AS b FROM pairs),
+comp(v, lab) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM und)
+  UNION
+  SELECT u.b, c.lab FROM comp c JOIN und u ON u.a = c.v),
+lbl AS (SELECT v, MIN(lab) AS cl FROM comp GROUP BY v),
+allv AS (SELECT s.image_id, s.k, COALESCE(l.cl, s.k) AS cl
+         FROM sigs s LEFT JOIN lbl l ON s.k = l.v),
+sizes AS (SELECT cl, COUNT(*) AS n FROM allv GROUP BY cl),
+keepers AS (
+  SELECT a.image_id, s.n FROM allv a JOIN sizes s ON s.cl = a.cl
+  WHERE a.k = a.cl)
+SELECT g.city_id, g.tile_id,
+       CAST(COUNT(*) AS BIGINT) AS n_keepers,
+       CAST(SUM(k.n) AS BIGINT) AS n_images
+FROM keepers k JOIN read_parquet('{assign}') g ON g.image_id = k.image_id
+GROUP BY g.city_id, g.tile_id
+-- GOLDEN sf0.01
+"""
+
+
+@register("flagship_dedup", oracle=_flagship_dedup_oracle())
+def flagship_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship × wide dedup end-to-end: image corpus → 256-bit wide
+    signatures → banded Hamming pairs → min-label clusters → keeper
+    decision → keepers get derived positions → fused PIP+BSP assignment
+    with kNN fallback → per-(city, tile) keeper counts and total
+    represented images (keeper + its dropped duplicates). One pipeline
+    from raw image bytes to the spatial rollup a 100-TB ingest would
+    publish — the banded pair join and the fused Arrow spatial kernel are
+    the only heavyweight stages, both the at-scale configurations."""
+    from ..operators.chains import min_label_components
+    from ..operators.images import dhash_wide_images, wide_hamming_pairs
+    from ..plans.flagship import flagship_assign
+    from ..sources.images import generate_phash_corpus_df
+    from ..sources.points import with_derived_position
+
+    corpus = generate_phash_corpus_df(spark, _n_for(spark, sf_dir))
+    sigs = dhash_wide_images(corpus).localCheckpoint(eager=False)
+    pairs = wide_hamming_pairs(sigs, max_hamming=7).selectExpr(
+        f"{_img_key('id_a')} AS ka", f"{_img_key('id_b')} AS kb"
+    )
+    labels = min_label_components(pairs, src="ka", dst="kb")
+    allv = (
+        sigs.selectExpr(f"{_img_key('image_id')} AS k")
+        .join(labels.withColumnRenamed("vertex", "k"), "k", "left")
+        .selectExpr("k", "COALESCE(label, k) AS cl")
+    )
+    sizes = allv.groupBy("cl").agg(F.count("*").alias("n"))
+    keepers = (
+        allv.filter("k = cl").join(sizes, "cl")
+        .selectExpr("k AS point_id", "n")
+    )
+    pts = with_derived_position(keepers, "point_id")
+    return (
+        flagship_assign(pts)
+        .groupBy("city_id", "tile_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keepers"),
+            F.sum("n").cast("bigint").alias("n_images"),
+        )
+        .select("city_id", F.col("tile_id").cast("int").alias("tile_id"),
+                "n_keepers", "n_images")
+    )
