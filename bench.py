@@ -52,7 +52,7 @@ EXTRA = [
 ]
 
 
-def make_spark(cpus: int):
+def make_spark(cpus: int, ui_port: int | None = None):
     from pyspark.sql import SparkSession
 
     return (
@@ -61,7 +61,8 @@ def make_spark(cpus: int):
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.ui.enabled", "false")
+        .config("spark.ui.enabled", "true" if ui_port else "false")
+        .config("spark.ui.port", str(ui_port or 4040))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
@@ -241,6 +242,69 @@ def bench_two_level_jvm(n_points: int = 120_000_000, sessions: int | None = None
     }
 
 
+_UI_PORT = 4047
+
+
+def _stage_totals(app_id: str) -> dict:
+    """Cumulative shuffle/spill byte counters over all completed stages via
+    the UI REST API. Shuffle and spill bytes are tracked by the shuffle
+    writers themselves (unlike parquet inputBytes, which under-reports for
+    vectorized reads), so deltas around a job are accurate resource
+    ledgers."""
+    import urllib.request
+
+    url = (f"http://localhost:{_UI_PORT}/api/v1/applications/{app_id}"
+           f"/stages?status=complete")
+    try:
+        stages = json.load(urllib.request.urlopen(url, timeout=10))
+    except Exception:
+        return {}
+    out = {"shuffle_read": 0, "shuffle_write": 0, "spill_disk": 0,
+           "spill_mem": 0}
+    for s in stages:
+        out["shuffle_read"] += s.get("shuffleReadBytes", 0)
+        out["shuffle_write"] += s.get("shuffleWriteBytes", 0)
+        out["spill_disk"] += s.get("diskBytesSpilled", 0)
+        out["spill_mem"] += s.get("memoryBytesSpilled", 0)
+    return out
+
+
+def _delta(after: dict, before: dict) -> dict:
+    return {k: after.get(k, 0) - before.get(k, 0) for k in after}
+
+
+def _synthetic_wide_sigs(spark, n: int, dup_every: int = 7):
+    """Direct synthesis of n wide signatures (+ planted near-dups every
+    `dup_every`) for the top decade of the scale curve, where generating
+    and decoding real image bytes would dominate the measurement the curve
+    exists to isolate (the banded JOIN). Words are md5-derived (uniform
+    256-bit, like real unrelated corpus sigs measured >=96 bits apart);
+    each dup flips one low bit of h1 (Hamming 1 <= 7)."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(n).selectExpr(
+        "format_string('simg%09d', id) AS image_id",
+        *[
+            f"CAST(conv(substr(md5(concat('w{w}_', id)), 1, 15), 16, 10) "
+            f"AS BIGINT) AS h{w}"
+            for w in range(4)
+        ],
+    )
+    dups = (
+        spark.range(0, n, dup_every)
+        .selectExpr(
+            "format_string('simg%09dd', id) AS image_id",
+            *[
+                f"CAST(conv(substr(md5(concat('w{w}_', id)), 1, 15), 16, "
+                f"10) AS BIGINT) AS h{w}"
+                for w in range(4)
+            ],
+        )
+        .withColumn("h1", F.expr("h1").bitwiseXOR(F.lit(1)))
+    )
+    return base.unionByName(dups)
+
+
 def bench_dedup_scale(ns=(20_000, 60_000, 180_000)) -> dict:
     """Dedup throughput CURVE (VERDICT r03 ask): image near-dup detection at
     several corpus sizes for both signature widths — 64-bit/9-bit-band
@@ -257,11 +321,12 @@ def bench_dedup_scale(ns=(20_000, 60_000, 180_000)) -> dict:
     )
     from osm2mp_spark.sources.images import generate_phash_corpus_df
 
-    spark = make_spark(CPUS)
+    spark = make_spark(CPUS, ui_port=_UI_PORT)
     spark.sparkContext.setLogLevel("ERROR")
     from osm2mp_spark.shipping import ensure_shipped
 
     ensure_shipped(spark)
+    app_id = spark.sparkContext.applicationId
 
     from pyspark.sql import functions as F
 
@@ -283,18 +348,29 @@ def bench_dedup_scale(ns=(20_000, 60_000, 180_000)) -> dict:
         l = e.select(F.col("image_id").alias("ia"), "band", "key")
         r = e.select(F.col("image_id").alias("ib"), "band", "key")
         cand = l.join(r, ["band", "key"]).filter(F.col("ia") < F.col("ib")).count()
-        # join stage best-of-2 over the cached signatures
-        join_sec, pairs = float("inf"), 0
+        # join stage best-of-2 over the cached signatures, with per-join
+        # shuffle/spill byte ledgers (VERDICT r04 ask #7: the linear-vs-
+        # quadratic witness as a RESOURCE claim, not just a candidate count)
+        join_sec, pairs, res = float("inf"), 0, {}
         for _ in range(2):
             df = (wide_hamming_pairs(sigs, max_hamming=7) if wide
                   else phash_hamming_pairs(sigs, max_hamming=6))
+            b0 = _stage_totals(app_id)
             t0 = time.time()
             pairs = df.count()
-            join_sec = min(join_sec, time.time() - t0)
+            dt = time.time() - t0
+            if dt < join_sec:
+                join_sec = dt
+                res = _delta(_stage_totals(app_id), b0)
         sigs.unpersist()
         return {"hash_sec": round(hash_sec, 3),
                 "join_sec": round(join_sec, 3),
-                "candidates": cand, "pairs": pairs}
+                "candidates": cand, "pairs": pairs,
+                "join_shuffle_mb": round(
+                    (res.get("shuffle_read", 0) + res.get("shuffle_write", 0))
+                    / 2**20, 1),
+                "join_spill_mb": round(
+                    (res.get("spill_disk", 0)) / 2**20, 1)}
 
     # interleave configs across sizes (co-tenant noise protocol)
     out: dict[str, dict] = {"narrow64": {}, "wide256": {}}
@@ -305,11 +381,223 @@ def bench_dedup_scale(ns=(20_000, 60_000, 180_000)) -> dict:
             rec["images"] = n_imgs
             rec["images_per_sec_join"] = round(n_imgs / rec["join_sec"], 1)
             out[key][str(n)] = rec
+
+    # one more decade, wide-only, over SYNTHETIC signatures (generating
+    # real image bytes at 5M images would bury the join in decode time;
+    # narrow64's bucket-quadratic candidates are extrapolation-dead two
+    # decades earlier). 8 uniform md5-derived words/sig mimic the measured
+    # unrelated-pair distance distribution.
+    n_syn = int(os.environ.get("SPARK_GRAFT_DEDUP_SYNTH_N", "5000000"))
+    sigs = _synthetic_wide_sigs(spark, n_syn).localCheckpoint(eager=True)
+    e = wide_band_explode(sigs)
+    l = e.select(F.col("image_id").alias("ia"), "band", "key")
+    r = e.select(F.col("image_id").alias("ib"), "band", "key")
+    cand = l.join(r, ["band", "key"]).filter(F.col("ia") < F.col("ib")).count()
+    join_sec, pairs, res = float("inf"), 0, {}
+    for _ in range(2):
+        df = wide_hamming_pairs(sigs, max_hamming=7)
+        b0 = _stage_totals(app_id)
+        t0 = time.time()
+        pairs = df.count()
+        dt = time.time() - t0
+        if dt < join_sec:
+            join_sec = dt
+            res = _delta(_stage_totals(app_id), b0)
+    n_imgs = n_syn + (n_syn + 6) // 7
+    out["wide256"][f"synthetic_{n_syn}"] = {
+        "hash_sec": None, "join_sec": round(join_sec, 3),
+        "candidates": cand, "pairs": pairs, "images": n_imgs,
+        "images_per_sec_join": round(n_imgs / join_sec, 1),
+        "join_shuffle_mb": round(
+            (res.get("shuffle_read", 0) + res.get("shuffle_write", 0))
+            / 2**20, 1),
+        "join_spill_mb": round(res.get("spill_disk", 0) / 2**20, 1),
+        "synthetic_sigs": True,
+    }
+    sigs.unpersist()
     spark.stop()
     return out
 
 
+def bench_skew(n_hot: int = 8_000, n_cold: int = 20_000) -> dict:
+    """Adversarial band-join skew (VERDICT r04 ask #5): n_hot signatures
+    share ONE h0 word (bands 0+1 collide corpus-wide → two buckets of
+    n_hot, ~n_hot²/2 candidates each) atop n_cold normal signatures (few
+    enough that the hot bucket dominates its shuffle partition — AQE's
+    skew detector compares against the median partition). The
+    shuffled join is timed with AQE skew-split ON vs OFF (broadcast
+    disabled both ways — at 10^12 sigs nothing broadcasts); ON must spread
+    the hot bucket across tasks instead of one straggler."""
+    from pyspark.sql import functions as F
+
+    from osm2mp_spark.operators.images import wide_hamming_pairs
+
+    spark = make_spark(CPUS, ui_port=_UI_PORT)
+    spark.sparkContext.setLogLevel("ERROR")
+    from osm2mp_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    cold = _synthetic_wide_sigs(spark, n_cold, dup_every=n_cold)
+    hot = spark.range(n_hot).selectExpr(
+        "format_string('hot%09d', id) AS image_id",
+        "CAST(81985529216486895 AS BIGINT) AS h0",  # constant band word
+        *[
+            f"CAST(conv(substr(md5(concat('h{w}_', id)), 1, 15), 16, 10) "
+            f"AS BIGINT) AS h{w}"
+            for w in (1, 2, 3)
+        ],
+    )
+    # cap input partitions at the shuffle-partition count so the ONLY
+    # stage that can exceed it is a skew-split join stage (the witness)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sigs = (
+        cold.unionByName(hot).repartition(n_parts)
+        .localCheckpoint(eager=True)
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # coalescing can fold the skew sub-splits back under the partition
+    # count, hiding the structural witness (task count > partitions);
+    # disable it for BOTH runs so the comparison stays apples-to-apples
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256KB")
+    def max_stage_tasks(tag, run):
+        """Largest stage task count among the jobs `run` submits — the
+        stable skew-split witness (the final-plan skew=true string only
+        prints while the re-optimized stage object is materialized)."""
+        sc = spark.sparkContext
+        sc.setJobGroup(tag, tag)
+        try:
+            run()
+        finally:
+            sc.setJobGroup("", "")
+        tr = sc.statusTracker()
+        mx = 0
+        for j in tr.getJobIdsForGroup(tag):
+            ji = tr.getJobInfo(j)
+            if ji is None:
+                continue
+            for sid in ji.stageIds:
+                si = tr.getStageInfo(sid)
+                if si:
+                    mx = max(mx, si.numTasks)
+        return mx
+
+    out = {"n_hot": n_hot, "n_cold": n_cold,
+           "shuffle_partitions": int(
+               spark.conf.get("spark.sql.shuffle.partitions"))}
+    for label, enabled in (("skew_split_on", "true"),
+                           ("skew_split_off", "false")):
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", enabled)
+        best, n_pairs, tasks = float("inf"), 0, 0
+        for i in range(2):
+            df = wide_hamming_pairs(sigs, max_hamming=7)
+            box = {}
+            t0 = time.time()
+            tasks = max(tasks, max_stage_tasks(
+                f"{label}_{i}", lambda: box.update(n=df.count())))
+            best = min(best, time.time() - t0)
+            n_pairs = box["n"]
+        out[label] = {"sec": round(best, 3), "pairs": n_pairs,
+                      "max_join_stage_tasks": tasks}
+    spark.stop()
+    return out
+
+
+def bench_inc_ledger(n_batches: int = 14, batch_images: int = 2_000) -> dict:
+    """Per-batch bytes-read ledger for the incremental dedup store (VERDICT
+    r04 weak item: per-batch cost must be O(batch), not O(store)). Streams
+    `n_batches` equal landing files through start_incremental_dedup,
+    compacting the store every 2 batches (so later batches take the
+    pruned-scan path against an ever-growing compacted prefix), and
+    reports each batch's metrics row: read_bytes (JVM /proc rchar over the
+    batch — all-inclusive), store_rows_scanned, and the store's total
+    banded row count at that point (what the pre-r5 layout would have
+    re-read every batch). Boundedness = read_bytes stays flat while
+    store_total_rows grows ~n_batches×. Compactions run BETWEEN batches
+    (outside every batch's rchar window) — the amortized background cost,
+    reported separately."""
+    import shutil
+
+    from osm2mp_spark.sources.images import generate_phash_corpus_df
+    from osm2mp_spark.streaming.dedup import (
+        compact_store,
+        read_batch_metrics,
+        read_store_signatures,
+        start_incremental_dedup,
+    )
+
+    spark = make_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    from osm2mp_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    base = f"/tmp/osm2mp_inc_ledger_{os.getpid()}"
+    shutil.rmtree(base, ignore_errors=True)
+    land = f"{base}/landing"
+    n_total = n_batches * batch_images
+    corpus = generate_phash_corpus_df(spark, n_total)
+    corpus.repartition(n_batches).write.mode("overwrite").parquet(land)
+    schema = spark.read.parquet(land).schema
+    store = f"{base}/store"
+    compact_secs = []
+
+    def hook(batch_id):
+        if batch_id % 2 == 1:
+            t0 = time.time()
+            compact_store(spark, store)
+            compact_secs.append(round(time.time() - t0, 2))
+
+    q = start_incremental_dedup(
+        spark, land, schema,
+        store_path=store, pairs_path=f"{base}/pairs",
+        checkpoint_path=f"{base}/ckpt",
+        max_hamming=7, max_files_per_trigger=1,
+        on_batch_complete=hook,
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    m = (
+        read_batch_metrics(spark, store).toPandas()
+        .sort_values("batch_id").reset_index(drop=True)
+    )
+    n_sigs = read_store_signatures(spark, store).count()
+    ledger = [
+        {
+            "batch": int(r.batch_id),
+            "n_images": int(r.n_images),
+            "secs": round(float(r.secs), 2),
+            "read_mb": round(int(r.read_bytes) / 2**20, 1),
+            "store_rows_scanned": int(r.store_rows_scanned),
+            # banded store rows existing when this batch ran (what the old
+            # layout re-read in full): 8 bands × images landed before it
+            "store_banded_rows_before": int(8 * sum(
+                m.n_images[m.batch_id < r.batch_id]
+            )),
+        }
+        for r in m.itertuples()
+    ]
+    shutil.rmtree(base, ignore_errors=True)
+    spark.stop()
+    return {
+        "batches": ledger,
+        "final_store_signatures": int(n_sigs),
+        "compaction_secs": compact_secs,
+    }
+
+
 def main():
+    if "--inc-ledger" in sys.argv:
+        print(json.dumps({"incremental_dedup_ledger": bench_inc_ledger()}))
+        return
+    if "--skew" in sys.argv:
+        print(json.dumps({"band_join_skew": bench_skew()}))
+        return
     if "--scale-session" in sys.argv:
         i = sys.argv.index("--scale-session")
         scale_session(int(sys.argv[i + 1]), int(sys.argv[i + 2]))
