@@ -116,7 +116,11 @@ def streaming_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..scratch import scratch_dir
     from ..sources.images import generate_phash_corpus_df
     from ..streaming.ann import compact_topk_state, read_topk
-    from ..streaming.dedup import compact_store, start_incremental_dedup
+    from ..streaming.dedup import (
+        compact_pairs,
+        compact_store,
+        start_incremental_dedup,
+    )
 
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     base = scratch_dir(
@@ -131,6 +135,7 @@ def streaming_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def hook(batch_id):
         if batch_id == 1:  # compact mid-stream: later batches take the
+            compact_pairs(spark, os.path.join(base, "pairs"), store)
             compact_store(spark, store)  # pruned-scan store path
             compact_topk_state(spark, state, store)
 

@@ -241,6 +241,62 @@ def pruned_store_scan(
     return out
 
 
+def compact_pairs(
+    spark: SparkSession, pairs_path: str, store_path: str,
+    num_files: int | None = None,
+) -> int:
+    """Roll certified per-batch pair dirs into one `compacted=<N>` dir —
+    the pairs subtree otherwise grows one directory per micro-batch
+    forever, the same unbounded-listing problem compact_store bounds for
+    signatures. Certification (a metrics row in the dedup store) keeps a
+    crash-window batch's pairs dir out of the merge so its replay stays
+    idempotent. read_pairs unions the compacted prefix with the batch
+    tail."""
+    _SPARK_FOR_FS[0] = spark
+    comp, comp_n = _compacted_dir(pairs_path)
+    certified = {
+        int(re.search(r"batch=(\d+)$", d).group(1))
+        for d in _batch_dirs(_join(store_path, "metrics"))
+    }
+    mcomp, mcomp_n = _compacted_dir(_join(store_path, "metrics"))
+    batches = [
+        d for d in _batch_dirs(pairs_path)
+        if int(re.search(r"batch=(\d+)$", d).group(1)) in certified
+        or int(re.search(r"batch=(\d+)$", d).group(1)) < mcomp_n
+    ]
+    if not batches:
+        return comp_n
+    ids = [int(re.search(r"batch=(\d+)$", d).group(1)) for d in batches]
+    horizon = max(ids) + 1
+    tail = [d for d, i in zip(batches, ids) if i >= comp_n]
+    if not tail:
+        for d in batches:
+            _rmtree(d)
+        return comp_n
+    merged = spark.read.parquet(*tail).select("id_a", "id_b", "hamming")
+    if comp:
+        merged = spark.read.parquet(comp).unionByName(merged)
+    tmp = _join(pairs_path, f"compacted={horizon}.tmp")
+    final = _join(pairs_path, f"compacted={horizon}")
+    _rmtree(tmp)
+    merged.coalesce(
+        num_files or spark.sparkContext.defaultParallelism
+    ).write.mode("overwrite").parquet(tmp)
+    _rmtree(final)
+    _rename(tmp, final)
+    if not _exists(final):
+        raise IOError(
+            f"compacted pairs {final} missing after rename — refusing to "
+            f"delete merged sources"
+        )
+    for d, i in zip(batches, ids):
+        if i < horizon:
+            _rmtree(d)
+    if comp:
+        _rmtree(comp)
+    return horizon
+
+
 def compact_store(
     spark: SparkSession,
     store_path: str,
@@ -562,8 +618,17 @@ def start_incremental_dedup(
 
 
 def read_pairs(spark: SparkSession, pairs_path: str) -> DataFrame:
-    """Accumulated pair set across every processed micro-batch."""
-    dirs = _batch_dirs(pairs_path)
+    """Accumulated pair set across every processed micro-batch: the
+    compacted prefix (compact_pairs) plus batch dirs at or above its
+    horizon. Sub-horizon batch dirs are skipped — they only exist as
+    crash-window replays whose (byte-identical) content the compacted dir
+    already holds, so including them would duplicate rows."""
+    _SPARK_FOR_FS[0] = spark
+    comp, n = _compacted_dir(pairs_path)
+    dirs = ([comp] if comp else []) + [
+        d for d in _batch_dirs(pairs_path)
+        if int(re.search(r"batch=(\d+)$", d).group(1)) >= n
+    ]
     if not dirs:
         return spark.createDataFrame(
             [], "id_a string, id_b string, hamming int"
@@ -589,4 +654,5 @@ __all__ = [
     "start_incremental_dedup", "read_pairs", "pairs_touching",
     "pairs_touching_banded", "banded_signatures", "pruned_store_scan",
     "read_store_signatures", "read_batch_metrics", "compact_store",
+    "compact_pairs",
 ]

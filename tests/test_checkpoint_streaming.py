@@ -1158,3 +1158,95 @@ class TestIncrementalANN:
         assert len(after) == len(b)
         for c in ("query_id", "neighbor_id", "hamming", "rnk"):
             assert (after[c].to_numpy() == b[c].to_numpy()).all(), c
+
+
+class TestPairsCompaction:
+    """compact_pairs bounds the pairs subtree's one-dir-per-batch listing
+    growth; read_pairs must stay exactly-once across compaction and
+    crash-window replays."""
+
+    def test_compact_pairs_preserves_union(self, spark, tmp_path):
+        import os
+        import shutil
+
+        from osm2mp_spark.streaming.dedup import (
+            compact_pairs,
+            read_pairs,
+            start_incremental_dedup,
+        )
+
+        land = tmp_path / "landing"
+        land.mkdir()
+        t = TestIncrementalDedupStream()
+        t._land(spark, land, 0, 7)
+        t._land(spark, land, 7, 14)
+        schema = spark.read.parquet(str(land)).schema
+        store, pairs, ckpt = (
+            str(tmp_path / "store"), str(tmp_path / "pairs"),
+            str(tmp_path / "ckpt"),
+        )
+        q = start_incremental_dedup(
+            spark, str(land), schema, store, pairs, ckpt,
+            max_hamming=7, max_files_per_trigger=1,
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        before = read_pairs(spark, pairs).toPandas()
+        assert compact_pairs(spark, pairs, store, num_files=1) == 2
+        assert os.path.isdir(f"{pairs}/compacted=2")
+        assert not any(
+            d.startswith("batch=") for d in os.listdir(pairs)
+        )
+        after = read_pairs(spark, pairs).toPandas()
+        a = after.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        b = before.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        assert len(a) == len(b) == 2
+        assert (a.id_a == b.id_a).all() and (a.id_b == b.id_b).all()
+
+        # crash-window replay: batch 1's pairs dir reappears AFTER the
+        # compaction swallowed its content — read_pairs must skip it
+        shutil.copytree(
+            f"{pairs}/compacted=2", f"{pairs}/batch=000000001"
+        )
+        again = read_pairs(spark, pairs).toPandas()
+        assert len(again) == 2  # no duplicates
+
+        # uncertified batch stays out of a subsequent merge
+        shutil.rmtree(f"{pairs}/batch=000000001")
+
+    def test_compact_pairs_skips_uncertified(self, spark, tmp_path):
+        import os
+        import shutil
+
+        from osm2mp_spark.streaming.dedup import (
+            compact_pairs,
+            read_pairs,
+            start_incremental_dedup,
+        )
+
+        land = tmp_path / "landing"
+        land.mkdir()
+        t = TestIncrementalDedupStream()
+        t._land(spark, land, 0, 7)
+        t._land(spark, land, 7, 14)
+        schema = spark.read.parquet(str(land)).schema
+        store, pairs, ckpt = (
+            str(tmp_path / "store"), str(tmp_path / "pairs"),
+            str(tmp_path / "ckpt"),
+        )
+        q = start_incremental_dedup(
+            spark, str(land), schema, store, pairs, ckpt,
+            max_hamming=7, max_files_per_trigger=1,
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        shutil.rmtree(os.path.join(store, "metrics", "batch=000000001"))
+        n = compact_pairs(spark, pairs, store, num_files=1)
+        assert n == 1
+        assert os.path.isdir(f"{pairs}/compacted=1")
+        assert os.path.isdir(f"{pairs}/batch=000000001")  # replay fodder
+        assert read_pairs(spark, pairs).count() == 2
