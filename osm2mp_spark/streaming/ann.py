@@ -112,7 +112,15 @@ def _read_state(
     ]
     if tail:
         t = spark.read.parquet(*tail)
-        if touched is not None:
+        # the tail is bounded by compaction cadence anyway; only add the
+        # In filter when the touched set is small enough that the literal
+        # list doesn't bloat the plan (same ceiling as the pruned scan)
+        from .dedup import _DEFAULT_MAX_PUSHDOWN_KEYS, _MAX_PUSHDOWN_KEYS_CONF
+
+        max_keys = int(spark.conf.get(
+            _MAX_PUSHDOWN_KEYS_CONF, str(_DEFAULT_MAX_PUSHDOWN_KEYS)
+        ))
+        if touched is not None and len(touched) <= max_keys:
             t = t.filter(F.col("query_id").isin(touched))
         parts.append(t)
     if not parts:
