@@ -155,3 +155,81 @@ def streaming_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return read_topk(spark, state)
+
+
+def _incremental_clusters_oracle() -> str | None:
+    # Identical oracle to image_dedup_clusters_wide: incrementally-
+    # maintained min-label components must equal the one-shot batch
+    # clustering (see streaming.clusters).
+    from .images_q import _wide_clusters_oracle
+
+    return _wide_clusters_oracle()
+
+
+@register(
+    "streaming_incremental_clusters", oracle=_incremental_clusters_oracle()
+)
+def streaming_incremental_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental clustering (third leg of the incremental dedup family):
+    the corpus streams in, each micro-batch's pairs fold into a min-label
+    component state via a forwarding log — cluster merges never rewrite
+    member rows, so per-batch cost is O(batch) (streaming.clusters).
+    Labels are compacted mid-stream (chains resolved, store re-sorted by
+    vertex for the pruned reads). Final resolved labels + per-cluster
+    sizes + keeper decision must equal the one-shot
+    image_dedup_clusters_wide — same recursive-CTE DuckDB oracle."""
+    import os
+
+    from .images_q import _img_key, _img_unkey, _n_for
+    from ..operators.images import dhash_wide_images
+    from ..scratch import scratch_dir
+    from ..sources.images import generate_phash_corpus_df
+    from ..streaming.clusters import compact_labels, read_labels
+    from ..streaming.dedup import compact_store, start_incremental_dedup
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    base = scratch_dir(
+        f"osm2mp_inc_clu_{sf_name}", spark.sparkContext.applicationId
+    )
+    land = os.path.join(base, "landing")
+    corpus = generate_phash_corpus_df(spark, _n_for(spark, sf_dir))
+    corpus.repartition(4).write.mode("overwrite").parquet(land)
+    schema = spark.read.parquet(land).schema
+    store = os.path.join(base, "store")
+    clusters = os.path.join(base, "clusters")
+
+    def hook(batch_id):
+        if batch_id == 1:  # mid-stream: later batches read the compacted
+            compact_store(spark, store)  # (pruned) layouts of both stores
+            compact_labels(spark, clusters, store)
+
+    q = start_incremental_dedup(
+        spark, land, schema,
+        store_path=store,
+        pairs_path=os.path.join(base, "pairs"),
+        checkpoint_path=os.path.join(base, "ckpt"),
+        max_hamming=7, max_files_per_trigger=1,
+        on_batch_complete=hook,
+        clusters_root=clusters,
+        cluster_key_exprs=(_img_key("id_a"), _img_key("id_b")),
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    labels = read_labels(spark, clusters)
+    allv = (
+        dhash_wide_images(spark.read.parquet(land))
+        .selectExpr(f"{_img_key('image_id')} AS k")
+        .join(labels.withColumnRenamed("vertex", "k"), "k", "left")
+        .selectExpr("k", "COALESCE(label, k) AS cl")
+    )
+    sizes = allv.groupBy("cl").agg(F.count("*").alias("n"))
+    return allv.join(sizes, "cl").selectExpr(
+        f"{_img_unkey('k', 'spark')} AS image_id",
+        f"{_img_unkey('cl', 'spark')} AS cluster_id",
+        "CAST(n AS BIGINT) AS cluster_size",
+        "(k = cl) AS keep",
+    )

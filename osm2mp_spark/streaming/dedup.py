@@ -504,6 +504,8 @@ def start_incremental_dedup(
     ann_state_path: str | None = None,
     ann_query_pred: str | None = None,
     ann_k: int = 3,
+    clusters_root: str | None = None,
+    cluster_key_exprs: tuple[str, str] | None = None,
 ):
     """readStream over an image-file landing zone → per-micro-batch wide
     signatures + incremental banded join against the store. Returns the
@@ -583,6 +585,15 @@ def start_incremental_dedup(
             update_topk_state(
                 spark, ann_state_path, int(batch_id),
                 spark.read.parquet(out), ann_query_pred, ann_k,
+            )
+        if clusters_root is not None:
+            from .clusters import update_clusters
+
+            ka, kb = cluster_key_exprs or ("CAST(id_a AS BIGINT)",
+                                           "CAST(id_b AS BIGINT)")
+            update_clusters(
+                spark, clusters_root, int(batch_id),
+                spark.read.parquet(out), ka, kb,
             )
         read_bytes = _jvm_read_bytes() - r0
         # per-batch lineage + throughput record (north_rule: resumable with

@@ -1250,3 +1250,124 @@ class TestPairsCompaction:
         assert os.path.isdir(f"{pairs}/compacted=1")
         assert os.path.isdir(f"{pairs}/batch=000000001")  # replay fodder
         assert read_pairs(spark, pairs).count() == 2
+
+
+class TestIncrementalClusters:
+    """streaming.clusters: min-label components via a forwarding log —
+    merges never rewrite member rows; resolved labels equal a batch
+    union-find at every step."""
+
+    def _fold(self, spark, root, batch_id, edges):
+        import pandas as pd
+
+        from osm2mp_spark.streaming.clusters import update_clusters
+
+        df = spark.createDataFrame(
+            pd.DataFrame(edges, columns=["id_a", "id_b"])
+        ) if edges else spark.createDataFrame([], "id_a long, id_b long")
+        update_clusters(
+            spark, root, batch_id, df,
+            "CAST(id_a AS BIGINT)", "CAST(id_b AS BIGINT)",
+        )
+
+    def _batch_uf(self, all_edges):
+        parent = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                x = parent[x]
+            return x
+
+        for a, b in all_edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        verts = {v for e in all_edges for v in e}
+        return {v: find(v) for v in verts}
+
+    def test_merge_across_batches_matches_batch_uf(self, spark, tmp_path):
+        from osm2mp_spark.streaming.clusters import read_labels
+
+        root = str(tmp_path / "clusters")
+        batches = [
+            [(5, 9), (9, 12)],          # cluster {5,9,12} root 5
+            [(20, 30), (31, 30)],       # cluster {20,30,31} root 20
+            [(12, 31)],                 # MERGE both → root 5 (forwarding)
+            [(2, 20)],                  # attach 2 → root becomes 2!
+            [],                         # empty batch
+        ]
+        seen = []
+        for i, edges in enumerate(batches):
+            self._fold(spark, root, i, edges)
+            seen += edges
+            got = {
+                int(r.vertex): int(r.label)
+                for r in read_labels(spark, root).collect()
+            }
+            assert got == self._batch_uf(seen), f"diverged at batch {i}"
+
+    def test_forwarding_holds_roots_only_and_compaction_resolves(
+        self, spark, tmp_path
+    ):
+        import glob
+
+        import pandas as pd
+
+        from osm2mp_spark.streaming.clusters import (
+            compact_labels,
+            read_labels,
+        )
+
+        root = str(tmp_path / "clusters")
+        store = str(tmp_path / "store")
+        self._fold(spark, root, 0, [(5, 9), (20, 30)])
+        self._fold(spark, root, 1, [(9, 30), (100, 101)])  # merge 20→5
+        fdirs = sorted(glob.glob(f"{root}/forward/batch=*"))
+        fwd = pd.concat(
+            [pd.read_parquet(d) for d in fdirs], ignore_index=True
+        )
+        # exactly ONE forwarding row (root 20 → 5) — never per-vertex rows
+        assert len(fwd) == 1
+        assert (int(fwd.from_label[0]), int(fwd.to_label[0])) == (20, 5)
+
+        # certify both batches, compact, forwarding tail drains
+        for b in (0, 1):
+            spark.createDataFrame(
+                [(b, 1, 1, 1.0, 1.0, 0, 0)],
+                "batch_id long, n_images long, n_pairs long, secs double, "
+                "images_per_sec double, store_rows_scanned long, "
+                "read_bytes long",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{store}/metrics/batch={b:09d}"
+            )
+        n = compact_labels(spark, root, store, num_files=2)
+        assert n == 2
+        assert not glob.glob(f"{root}/forward/batch=*")
+        assert not glob.glob(f"{root}/labels/batch=*")
+        got = {
+            int(r.vertex): int(r.label)
+            for r in read_labels(spark, root).collect()
+        }
+        assert got == self._batch_uf([(5, 9), (20, 30), (9, 30), (100, 101)])
+        # compacted labels carry fully-resolved roots (no stale 20s)
+        lab = pd.read_parquet(f"{root}/labels/compacted=2")
+        assert set(lab.label) == {5, 100}
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        from osm2mp_spark.streaming.clusters import read_labels
+
+        root = str(tmp_path / "clusters")
+        self._fold(spark, root, 0, [(5, 9)])
+        self._fold(spark, root, 1, [(9, 3)])
+        before = sorted(
+            (int(r.vertex), int(r.label))
+            for r in read_labels(spark, root).collect()
+        )
+        # crash replay of batch 1: identical recompute, state unchanged
+        self._fold(spark, root, 1, [(9, 3)])
+        after = sorted(
+            (int(r.vertex), int(r.label))
+            for r in read_labels(spark, root).collect()
+        )
+        assert before == after == [(3, 3), (5, 3), (9, 3)]
