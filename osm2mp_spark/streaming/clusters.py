@@ -103,9 +103,17 @@ def _labels_for(
                                        key_col="vertex"))
     tail = _tail(labels_root, n, below)
     if tail:
-        parts.append(
-            spark.read.parquet(*tail).filter(F.col("vertex").isin(vertices))
-        )
+        # the In filter both prunes the read AND bounds the driver collect
+        # below — keep it always, but chunk the literal list so a dup-heavy
+        # batch's giant vertex set can't bloat a single plan (same chunk
+        # size as pruned_store_scan)
+        from .dedup import _PUSHDOWN_CHUNK
+
+        t = spark.read.parquet(*tail)
+        for i in range(0, len(vertices), _PUSHDOWN_CHUNK):
+            parts.append(
+                t.filter(F.col("vertex").isin(vertices[i:i + _PUSHDOWN_CHUNK]))
+            )
     for p in parts:
         for r in p.collect():
             out[int(r.vertex)] = int(r.label)
