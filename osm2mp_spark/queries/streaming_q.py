@@ -183,11 +183,14 @@ def streaming_incremental_clusters(
     import os
 
     from .images_q import _img_key, _img_unkey, _n_for
-    from ..operators.images import dhash_wide_images
     from ..scratch import scratch_dir
     from ..sources.images import generate_phash_corpus_df
     from ..streaming.clusters import compact_labels, read_labels
-    from ..streaming.dedup import compact_store, start_incremental_dedup
+    from ..streaming.dedup import (
+        compact_store,
+        read_store_signatures,
+        start_incremental_dedup,
+    )
 
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     base = scratch_dir(
@@ -220,8 +223,10 @@ def streaming_incremental_clusters(
     finally:
         q.stop()
     labels = read_labels(spark, clusters)
+    # the vertex universe comes from the SIGNATURE STORE the stream built
+    # (uniform view over compacted + tail) — no second hash pass
     allv = (
-        dhash_wide_images(spark.read.parquet(land))
+        read_store_signatures(spark, store)
         .selectExpr(f"{_img_key('image_id')} AS k")
         .join(labels.withColumnRenamed("vertex", "k"), "k", "left")
         .selectExpr("k", "COALESCE(label, k) AS cl")
