@@ -696,3 +696,62 @@ class TestFixCloseNodesWalk:
     def test_far_pairs_untouched(self, spark):
         got = self._run(spark, {1: [(0, 0), (20, 0), (40, 3)]})[1]
         assert got == [(0.0, 0.0), (20.0, 0.0), (40.0, 3.0)]
+
+
+class TestIncrementalClustersProperty:
+    """Property: for ANY edge set folded in ANY batch order, the
+    incremental forwarding-log clustering resolves to the same labels as
+    a one-shot union-find (streaming.clusters invariant, fuzzed)."""
+
+    def test_random_graphs_random_splits(self, spark, tmp_path):
+        import random
+
+        from osm2mp_spark.streaming.clusters import (
+            read_labels,
+            update_clusters,
+        )
+
+        rng = random.Random(20260817)
+        for case in range(3):
+            n_vert = rng.randint(6, 24)
+            n_edges = rng.randint(3, 20)
+            edges = [
+                (rng.randrange(n_vert * 3), rng.randrange(n_vert * 3))
+                for _ in range(n_edges)
+            ]
+            edges = [(a, b) for a, b in edges if a != b]
+            # batch UF ground truth (min-label)
+            parent = {}
+
+            def find(x):
+                while parent.get(x, x) != x:
+                    x = parent[x]
+                return x
+
+            for a, b in edges:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    lo, hi = sorted((ra, rb))
+                    parent[hi] = lo
+            verts = {v for e in edges for v in e}
+            expected = {v: find(v) for v in verts}
+
+            # random split into batches, incremental fold
+            root = str(tmp_path / f"case{case}")
+            random.Random(case).shuffle(edges)
+            i, bid = 0, 0
+            while i < len(edges):
+                c = rng.randint(1, max(1, len(edges) // 3))
+                batch = edges[i:i + c]
+                i += c
+                df = spark.createDataFrame(batch, "id_a long, id_b long")
+                update_clusters(
+                    spark, root, bid, df,
+                    "CAST(id_a AS BIGINT)", "CAST(id_b AS BIGINT)",
+                )
+                bid += 1
+            got = {
+                int(r.vertex): int(r.label)
+                for r in read_labels(spark, root).collect()
+            }
+            assert got == expected, f"case {case} diverged"
