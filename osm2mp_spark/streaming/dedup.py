@@ -200,11 +200,46 @@ def read_store_signatures(spark: SparkSession, root: str) -> DataFrame:
 # JVM stack somewhere between 800 and 1500 values, so scans take ≤ 512
 # keys each and the batch's key set is split across several scans.
 _PUSHDOWN_CHUNK = 512
-# Above this many distinct band keys (≈ maxKeys/8 images per micro-batch)
-# the chunked point-lookup degenerates to many scans of the same footers —
-# fall back to one full store scan, which a batch that large amortizes.
+# In-list plan-size ceiling (literal count, not a bytes-read concern: the
+# pruned read itself is O(keys) regardless). Past it the giant literal list
+# costs more in planning than pruning saves only once the predicted pruned
+# read approaches the full scan — see the crossover test below.
 _MAX_PUSHDOWN_KEYS_CONF = "spark.osm2mp.store.maxPushdownKeys"
 _DEFAULT_MAX_PUSHDOWN_KEYS = 50_000
+
+
+def _store_rowgroup_stats(path: str) -> tuple[int, int] | None:
+    """(total_rows, max_rowgroup_rows) from parquet footers — driver-side,
+    no Spark job. None when the path scheme can't be footer-read."""
+    try:
+        import pyarrow.parquet as pq
+
+        if _is_uri(path):
+            from pyarrow import fs as pafs
+
+            fsys, inner = pafs.FileSystem.from_uri(path)
+            files = [
+                f.path
+                for f in fsys.get_file_info(pafs.FileSelector(inner))
+                if f.path.endswith(".parquet")
+            ]
+            opener = lambda f: pq.ParquetFile(f, filesystem=fsys)  # noqa: E731
+        else:
+            files = [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+            opener = pq.ParquetFile
+        total, biggest = 0, 1
+        for f in files:
+            md = opener(f).metadata
+            total += md.num_rows
+            for i in range(md.num_row_groups):
+                biggest = max(biggest, md.row_group(i).num_rows)
+        return total, biggest
+    except Exception:
+        return None
 
 
 def pruned_store_scan(
@@ -218,17 +253,26 @@ def pruned_store_scan(
     O(|batch| · row_group_size), independent of store size (the r4 verdict
     weak item: the previous layout re-read the WHOLE store every batch).
     Measured via /proc rchar: 800 keys against an 80M-row store read 70 MB
-    vs 2,582 MB for the full scan, flat as the store grows."""
+    vs 2,582 MB for the full scan, flat as the store grows.
+
+    For very large key sets the decision is a COST CROSSOVER, not a fixed
+    cliff: predicted pruned read ≈ |keys| × max_rowgroup_rows (each point
+    key can touch at most one row group plus a boundary); when that
+    reaches the store's total rows — or footer stats are unavailable and
+    the key count exceeds the plan-size ceiling — the full scan is
+    genuinely cheaper and we take it deliberately."""
     df = spark.read.parquet(comp_dir)
+    if not keys:
+        return df.limit(0)
     max_keys = int(
         spark.conf.get(
             _MAX_PUSHDOWN_KEYS_CONF, str(_DEFAULT_MAX_PUSHDOWN_KEYS)
         )
     )
-    if not keys:
-        return df.limit(0)
     if len(keys) > max_keys:
-        return df  # full scan; a batch this big amortizes it
+        stats = _store_rowgroup_stats(comp_dir)
+        if stats is None or len(keys) * stats[1] >= stats[0]:
+            return df  # predicted pruned read ≥ full scan — scan once
     spark.conf.set(
         "spark.sql.parquet.pushdown.inFilterThreshold",
         str(_PUSHDOWN_CHUNK + 1),

@@ -1371,3 +1371,39 @@ class TestIncrementalClusters:
             for r in read_labels(spark, root).collect()
         )
         assert before == after == [(3, 3), (5, 3), (9, 3)]
+
+
+class TestPrunedScanCrossover:
+    """Past the plan-size ceiling, pruning continues as long as the
+    predicted pruned read (keys × max row-group rows) stays under the
+    store's total rows; only past that crossover does the scan
+    deliberately fall back to one full pass."""
+
+    def test_crossover_decision(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from osm2mp_spark.streaming.dedup import pruned_store_scan
+
+        comp = str(tmp_path / "compacted=1")
+        (
+            spark.range(50_000)
+            .selectExpr("id AS bandkey", "md5(cast(id as string)) AS payload")
+            .repartitionByRange(4, "bandkey")
+            .sortWithinPartitions("bandkey")
+            .write.option("parquet.block.size", 64 << 10).parquet(comp)
+        )
+        keys = list(range(0, 50_000, 100))  # 500 keys
+        spark.conf.set("spark.osm2mp.store.maxPushdownKeys", "100")
+        try:
+            # 500 keys > ceiling 100, but 500 × max_rowgroup << 50k rows?
+            # row groups here are ~2k rows → predicted 1M ≥ 50k → full scan
+            df = pruned_store_scan(spark, comp, keys)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "In(bandkey" not in plan  # crossover → full scan
+            # tiny key set under the ceiling still prunes
+            df2 = pruned_store_scan(spark, comp, keys[:50])
+            plan2 = df2._jdf.queryExecution().executedPlan().toString()
+            assert "In(bandkey" in plan2
+            assert df2.count() == 50
+        finally:
+            spark.conf.unset("spark.osm2mp.store.maxPushdownKeys")
