@@ -464,27 +464,7 @@ def bench_skew(n_hot: int = 8_000, n_cold: int = 20_000) -> dict:
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB"
     )
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256KB")
-    def max_stage_tasks(tag, run):
-        """Largest stage task count among the jobs `run` submits — the
-        stable skew-split witness (the final-plan skew=true string only
-        prints while the re-optimized stage object is materialized)."""
-        sc = spark.sparkContext
-        sc.setJobGroup(tag, tag)
-        try:
-            run()
-        finally:
-            sc.setJobGroup("", "")
-        tr = sc.statusTracker()
-        mx = 0
-        for j in tr.getJobIdsForGroup(tag):
-            ji = tr.getJobInfo(j)
-            if ji is None:
-                continue
-            for sid in ji.stageIds:
-                si = tr.getStageInfo(sid)
-                if si:
-                    mx = max(mx, si.numTasks)
-        return mx
+    from osm2mp_spark.metrics import max_stage_tasks
 
     out = {"n_hot": n_hot, "n_cold": n_cold,
            "shuffle_partitions": int(
@@ -498,7 +478,7 @@ def bench_skew(n_hot: int = 8_000, n_cold: int = 20_000) -> dict:
             box = {}
             t0 = time.time()
             tasks = max(tasks, max_stage_tasks(
-                f"{label}_{i}", lambda: box.update(n=df.count())))
+                spark, f"{label}_{i}", lambda: box.update(n=df.count())))
             best = min(best, time.time() - t0)
             n_pairs = box["n"]
         out[label] = {"sec": round(best, 3), "pairs": n_pairs,

@@ -111,23 +111,22 @@ def _read_state(
         if int(re.search(r"batch=(\d+)$", d).group(1)) >= n
     ]
     if tail:
-        t = spark.read.parquet(*tail)
-        # the tail is bounded by compaction cadence anyway; only add the
-        # In filter when the touched set is small enough that the literal
-        # list doesn't bloat the plan (same ceiling as the pruned scan)
-        from .dedup import _DEFAULT_MAX_PUSHDOWN_KEYS, _MAX_PUSHDOWN_KEYS_CONF
-
-        max_keys = int(spark.conf.get(
-            _MAX_PUSHDOWN_KEYS_CONF, str(_DEFAULT_MAX_PUSHDOWN_KEYS)
-        ))
-        if touched is not None and len(touched) <= max_keys:
-            t = t.filter(F.col("query_id").isin(touched))
-        parts.append(t)
+        parts.append(spark.read.parquet(*tail))
     if not parts:
         return None
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if touched is not None:
+        # restrict to the touched set via a broadcast semi-join — unlike a
+        # literal In list this stays plan-cheap at ANY touched-set size, so
+        # the touched-only delta invariant holds even when the pruned comp
+        # scan fell back to a full pass (the In filters above it remain the
+        # ROW-GROUP pruning lever; this is the correctness restriction)
+        tdf = spark.createDataFrame(
+            [(x,) for x in touched], "query_id string"
+        )
+        out = out.join(F.broadcast(tdf), "query_id", "left_semi")
     return _latest_per_query(out)
 
 
@@ -155,6 +154,12 @@ def update_topk_state(
         merged = merged.unionByName(
             prev.select("query_id", "neighbor_id", "hamming")
         )
+    # a crash-window replay at the compaction horizon (batch certified +
+    # compacted, checkpoint uncommitted) re-folds candidates the compacted
+    # state already absorbed — without this distinct, row_number would rank
+    # the duplicate (query, neighbor) rows as separate top-k entries,
+    # crowding out genuine neighbors
+    merged = merged.distinct()
     w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
     (
         merged.withColumn("rnk", F.row_number().over(w).cast("int"))

@@ -99,8 +99,23 @@ def _labels_for(
     out: dict[int, int] = {}
     parts = []
     if comp is not None:
-        parts.append(pruned_store_scan(spark, comp, vertices,
-                                       key_col="vertex"))
+        # chunked In filters directly (NOT pruned_store_scan, whose cost
+        # crossover can fall back to an UNFILTERED full scan — fine for
+        # DataFrame consumers, fatal here where every returned row is
+        # collect()ed to the driver: the filter bounds the collect)
+        from .dedup import _PUSHDOWN_CHUNK
+
+        c = spark.read.parquet(comp)
+        spark.conf.set(
+            "spark.sql.parquet.pushdown.inFilterThreshold",
+            str(_PUSHDOWN_CHUNK + 1),
+        )
+        for i in range(0, len(vertices), _PUSHDOWN_CHUNK):
+            parts.append(
+                c.filter(
+                    F.col("vertex").isin(vertices[i:i + _PUSHDOWN_CHUNK])
+                )
+            )
     tail = _tail(labels_root, n, below)
     if tail:
         # the In filter both prunes the read AND bounds the driver collect

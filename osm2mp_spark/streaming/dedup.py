@@ -273,6 +273,11 @@ def pruned_store_scan(
         stats = _store_rowgroup_stats(comp_dir)
         if stats is None or len(keys) * stats[1] >= stats[0]:
             return df  # predicted pruned read ≥ full scan — scan once
+    # deliberately a lasting session-conf change (NOT try/finally-restored):
+    # the scan is lazy, so the threshold must still be raised when the
+    # action finally plans it. 513 keeps other queries' In pushdowns far
+    # under the ~800-1500-literal OR-chain stack limit measured on this
+    # build, so the session-wide effect is benign.
     spark.conf.set(
         "spark.sql.parquet.pushdown.inFilterThreshold",
         str(_PUSHDOWN_CHUNK + 1),
@@ -385,9 +390,14 @@ def compact_store(
     certified = {
         int(re.search(r"batch=(\d+)$", d).group(1)) for d in metric_dirs
     }
+    mcomp0, mcomp0_n = _compacted_dir(metrics_root)
     batches = [
         d for d in _batch_dirs(store_path)
         if int(re.search(r"batch=(\d+)$", d).group(1)) in certified
+        # below the metrics horizon = certified before that compaction
+        # (its per-batch metrics dir was rolled up); treat replayed store
+        # dirs there as certified so they get cleaned up
+        or int(re.search(r"batch=(\d+)$", d).group(1)) < mcomp0_n
     ]
     if not batches:
         return comp_n
@@ -427,9 +437,15 @@ def compact_store(
             _rmtree(d)
     if comp:
         _rmtree(comp)
-    # ---- roll certified metrics rows below the horizon into one file too
-    mcomp, _ = _compacted_dir(metrics_root)
-    msrcs = ([mcomp] if mcomp else []) + metric_dirs
+    # ---- roll certified metrics rows below the horizon into one file too.
+    # Metric batch dirs BELOW the previous metrics horizon are crash-window
+    # replays whose rows the previous compacted file already holds —
+    # including them would bake a duplicate row in permanently.
+    mcomp, mcomp_n = _compacted_dir(metrics_root)
+    msrcs = ([mcomp] if mcomp else []) + [
+        d for d in metric_dirs
+        if int(re.search(r"batch=(\d+)$", d).group(1)) >= mcomp_n
+    ]
     mtmp = _join(metrics_root, f"compacted={horizon}.tmp")
     mfinal = _join(metrics_root, f"compacted={horizon}")
     _rmtree(mtmp)
@@ -593,36 +609,50 @@ def start_incremental_dedup(
         newb = banded_signatures(new)
         keys = [r[0] for r in newb.select("bandkey").distinct().collect()]
         out = _join(pairs_path, f"batch={batch_id:09d}")
-        for attempt in (0, 1):
-            try:
-                comp, n = _compacted_dir(store_path)
-                if comp is not None and n > batch_id + 1:
-                    raise RuntimeError(
-                        f"store compacted through batch {n} but batch "
-                        f"{batch_id} is being (re)processed — a replay can "
-                        f"sit at most ONE batch behind the horizon"
-                    )
-                tail = [
-                    d for d in _batch_dirs(store_path, below=batch_id)
-                    if int(re.search(r"batch=(\d+)$", d).group(1)) >= n
-                    and d != sig_dir
-                ]
-                allb = newb
-                if tail:
-                    allb = allb.unionByName(
-                        banded_signatures(spark.read.parquet(*tail))
-                    )
-                if comp is not None:
-                    allb = allb.unionByName(
-                        pruned_store_scan(spark, comp, keys)
-                    )
-                pairs_touching_banded(newb, allb, max_hamming).write.mode(
-                    "overwrite"
-                ).parquet(out)
-                break
-            except Exception as e:  # mid-stream compaction listing race
-                if attempt or not _is_listing_race(e):
-                    raise
+
+        def build_allb() -> DataFrame:
+            """Banded view of everything the batch joins against: its own
+            rows + the uncompacted tail + the pruned compacted prefix —
+            RE-LISTED on each call so a retry after a mid-stream compaction
+            picks up the new layout."""
+            comp, n = _compacted_dir(store_path)
+            if comp is not None and n > batch_id + 1:
+                raise RuntimeError(
+                    f"store compacted through batch {n} but batch "
+                    f"{batch_id} is being (re)processed — a replay can "
+                    f"sit at most ONE batch behind the horizon"
+                )
+            tail = [
+                d for d in _batch_dirs(store_path, below=batch_id)
+                if int(re.search(r"batch=(\d+)$", d).group(1)) >= n
+                and d != sig_dir
+            ]
+            allb = newb
+            if tail:
+                allb = allb.unionByName(
+                    banded_signatures(spark.read.parquet(*tail))
+                )
+            if comp is not None:
+                allb = allb.unionByName(
+                    pruned_store_scan(spark, comp, keys)
+                )
+            return allb
+
+        def race_retry(run):
+            """Run `run(build_allb())`, retrying once with a fresh listing
+            when a concurrently-committed compaction deleted dirs between
+            our listing and the read."""
+            for attempt in (0, 1):
+                try:
+                    return run(build_allb())
+                except Exception as e:
+                    if attempt or not _is_listing_race(e):
+                        raise
+
+        race_retry(
+            lambda allb: pairs_touching_banded(newb, allb, max_hamming)
+            .write.mode("overwrite").parquet(out)
+        )
         if ann_state_path is not None:
             from .ann import update_topk_state
 
@@ -645,8 +675,10 @@ def start_incremental_dedup(
         # as the data; written LAST so a metrics row certifies a completed
         # batch.
         n_new = new.count()
-        # allb is banded (8 rows/signature) and includes the new side
-        n_store = allb.count() - 8 * n_new
+        # allb is banded (8 rows/signature) and includes the new side; the
+        # count re-executes the (bounded) store read, under the same
+        # compaction-race retry as the production join
+        n_store = race_retry(lambda allb: allb.count()) - 8 * n_new
         n_pairs = spark.read.parquet(out).count()
         secs = time.time() - t0
         spark.createDataFrame(
@@ -698,8 +730,13 @@ def read_batch_metrics(spark: SparkSession, store_path: str) -> DataFrame:
     checkpoint."""
     _SPARK_FOR_FS[0] = spark
     metrics_root = _join(store_path, "metrics")
-    mcomp, _ = _compacted_dir(metrics_root)
-    dirs = ([mcomp] if mcomp else []) + _batch_dirs(metrics_root)
+    mcomp, n = _compacted_dir(metrics_root)
+    # skip sub-horizon batch dirs: they only exist as crash-window replays
+    # whose (byte-identical) rows the compacted file already holds
+    dirs = ([mcomp] if mcomp else []) + [
+        d for d in _batch_dirs(metrics_root)
+        if int(re.search(r"batch=(\d+)$", d).group(1)) >= n
+    ]
     if not dirs:
         return spark.createDataFrame([], BATCH_METRICS_SCHEMA)
     return spark.read.parquet(*dirs)

@@ -142,29 +142,11 @@ class TestBandJoinSkew:
         }
         old = {k: spark.conf.get(k, None) for k in confs}
 
-        def max_stage_tasks(tag, run):
-            """Largest stage (by task count) among the jobs `run` submits.
-            AQE's skew split shows up as MORE tasks than shuffle
-            partitions in the join stage — a stable signal, unlike the
-            plan string's skew=true marker, which prints only while the
-            re-optimized query stage object is still materialized."""
-            sc = spark.sparkContext
-            sc.setJobGroup(tag, tag)
-            try:
-                run()
-            finally:
-                sc.setJobGroup("", "")
-            tr = sc.statusTracker()
-            mx = 0
-            for j in tr.getJobIdsForGroup(tag):
-                ji = tr.getJobInfo(j)
-                if ji is None:
-                    continue
-                for sid in ji.stageIds:
-                    si = tr.getStageInfo(sid)
-                    if si:
-                        mx = max(mx, si.numTasks)
-            return mx
+        # AQE's skew split shows up as MORE tasks than shuffle partitions
+        # in the join stage — the stable witness (the plan string's
+        # skew=true marker prints only while the re-optimized query stage
+        # object is still materialized). Shared with bench.py --skew.
+        from osm2mp_spark.metrics import max_stage_tasks
 
         try:
             for k, v in confs.items():
@@ -172,7 +154,7 @@ class TestBandJoinSkew:
             pairs = wide_hamming_pairs(sigs, max_hamming=7)
             got = set()
             n_tasks_on = max_stage_tasks(
-                "skew_on", lambda: got.update(
+                spark, "skew_on", lambda: got.update(
                     (r.id_a, r.id_b, r.hamming) for r in pairs.collect()
                 )
             )
@@ -180,7 +162,7 @@ class TestBandJoinSkew:
             assert got == exp and len(got) >= 3
             spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
             n_tasks_off = max_stage_tasks(
-                "skew_off",
+                spark, "skew_off",
                 lambda: wide_hamming_pairs(sigs, max_hamming=7).count(),
             )
             n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
