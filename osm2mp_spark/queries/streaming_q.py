@@ -238,3 +238,82 @@ def streaming_incremental_clusters(
         "CAST(n AS BIGINT) AS cluster_size",
         "(k = cl) AS keep",
     )
+
+
+def _incremental_flagship_oracle() -> str | None:
+    # Identical oracle to flagship_dedup: the delta-log sums must equal the
+    # one-shot batch rollup (see streaming.flagship).
+    from .images_q import _flagship_dedup_oracle
+
+    return _flagship_dedup_oracle()
+
+
+@register(
+    "streaming_incremental_flagship", oracle=_incremental_flagship_oracle()
+)
+def streaming_incremental_flagship(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The terminal leg of the incremental family: the per-(city, tile)
+    keeper rollup that flagship_dedup publishes, maintained across
+    micro-batches as a retraction delta log (streaming.flagship) — a
+    cluster merge retracts the merged clusters' previously-published rows
+    and adds the combined cluster at its (possibly moved) root position;
+    per-batch work is O(batch) and unchanged clusters are never touched.
+    All four stores (signatures, labels, sizes, deltas) are compacted
+    mid-stream. Summing the log must equal the one-shot flagship_dedup —
+    same composed DuckDB oracle."""
+    import os
+
+    from .images_q import _img_key, _n_for
+    from ..plans.flagship import flagship_assign
+    from ..scratch import scratch_dir
+    from ..sources.images import generate_phash_corpus_df
+    from ..sources.points import with_derived_position
+    from ..streaming.clusters import compact_labels
+    from ..streaming.dedup import compact_store, start_incremental_dedup
+    from ..streaming.flagship import compact_rollup, read_rollup
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    base = scratch_dir(
+        f"osm2mp_inc_flag_{sf_name}", spark.sparkContext.applicationId
+    )
+    land = os.path.join(base, "landing")
+    corpus = generate_phash_corpus_df(spark, _n_for(spark, sf_dir))
+    corpus.repartition(4).write.mode("overwrite").parquet(land)
+    schema = spark.read.parquet(land).schema
+    store = os.path.join(base, "store")
+    clusters = os.path.join(base, "clusters")
+    rollup = os.path.join(base, "rollup")
+
+    def assign(df: DataFrame) -> DataFrame:
+        return flagship_assign(with_derived_position(df, "point_id"))
+
+    def hook(batch_id):
+        if batch_id == 1:  # mid-stream: later batches read the compacted
+            compact_store(spark, store)  # (pruned) layouts of all stores
+            compact_labels(spark, clusters, store)
+            compact_rollup(spark, rollup, store)
+
+    q = start_incremental_dedup(
+        spark, land, schema,
+        store_path=store,
+        pairs_path=os.path.join(base, "pairs"),
+        checkpoint_path=os.path.join(base, "ckpt"),
+        max_hamming=7, max_files_per_trigger=1,
+        on_batch_complete=hook,
+        clusters_root=clusters,
+        cluster_key_exprs=(_img_key("id_a"), _img_key("id_b")),
+        rollup_root=rollup,
+        rollup_key_expr=_img_key("image_id"),
+        rollup_assign=assign,
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return read_rollup(spark, rollup).select(
+        "city_id", "tile_id",
+        F.col("n_keepers").cast("bigint").alias("n_keepers"),
+        F.col("n_images").cast("bigint").alias("n_images"),
+    )

@@ -142,11 +142,17 @@ def update_clusters(
     pairs: DataFrame,
     key_expr_a: str,
     key_expr_b: str,
-) -> None:
+) -> dict:
     """Fold one micro-batch's pairs into the cluster state. `key_expr_a/b`
     are SQL expressions packing the pair id columns to BIGINT vertices
     (e.g. queries.images_q._img_key('id_a')). Idempotent overwrite per
-    batch; a replay recomputes identical deltas from the state below it."""
+    batch; a replay recomputes identical deltas from the state below it.
+
+    Returns the batch's FOLD — `{"touched": [v...], "old_root": {v: root
+    before this batch}, "new_root": {x: root after, for x in touched ∪
+    old roots}}` — so downstream incremental consumers (the flagship
+    rollup's retraction deltas, streaming.flagship) see exactly which
+    clusters this batch changed without re-deriving the union-find."""
     _SPARK_FOR_FS[0] = spark
     edges = [
         (int(r.ka), int(r.kb))
@@ -164,7 +170,7 @@ def update_clusters(
         spark.createDataFrame([], FORWARD_SCHEMA).write.mode(
             "overwrite"
         ).parquet(_join(forward_dir, f"batch={batch_id:09d}"))
-        return
+        return {"touched": [], "old_root": {}, "new_root": {}}
     touched = sorted({v for e in edges for v in e})
     stored = _labels_for(spark, labels_dir, touched, below=batch_id)
     fwd = _forward_map(spark, forward_dir, below=batch_id)
@@ -174,6 +180,8 @@ def update_clusters(
         while l in fwd:
             l = fwd[l]
         return l
+
+    old_root = {v: current_root(v) for v in touched}
 
     # driver union-find sized by the BATCH's pair graph: vertices are the
     # touched ids and their current roots
@@ -226,6 +234,13 @@ def update_clusters(
     ).write.mode("overwrite").parquet(
         _join(forward_dir, f"batch={batch_id:09d}")
     )
+    return {
+        "touched": touched,
+        "old_root": old_root,
+        "new_root": {
+            x: find(x) for x in set(touched) | set(old_root.values())
+        },
+    }
 
 
 def read_labels(spark: SparkSession, labels_root: str) -> DataFrame:

@@ -566,6 +566,9 @@ def start_incremental_dedup(
     ann_k: int = 3,
     clusters_root: str | None = None,
     cluster_key_exprs: tuple[str, str] | None = None,
+    rollup_root: str | None = None,
+    rollup_key_expr: str | None = None,
+    rollup_assign=None,
 ):
     """readStream over an image-file landing zone → per-micro-batch wide
     signatures + incremental banded join against the store. Returns the
@@ -575,6 +578,11 @@ def start_incremental_dedup(
     additionally folded into a per-query Hamming top-k state (streaming.ann
     — incremental ANN maintenance), written BEFORE the certifying metrics
     row so replays cover it.
+
+    With `rollup_root` + `rollup_key_expr` + `rollup_assign` set (requires
+    `clusters_root`), each batch additionally maintains the published
+    per-(city, tile) keeper rollup via retraction deltas
+    (streaming.flagship) fed by the cluster fold.
 
     Store-side cost is bounded per batch: the compacted prefix is scanned
     via pruned_store_scan (parquet row-group pruning on the micro-batch's
@@ -665,10 +673,17 @@ def start_incremental_dedup(
 
             ka, kb = cluster_key_exprs or ("CAST(id_a AS BIGINT)",
                                            "CAST(id_b AS BIGINT)")
-            update_clusters(
+            fold = update_clusters(
                 spark, clusters_root, int(batch_id),
                 spark.read.parquet(out), ka, kb,
             )
+            if rollup_root is not None:
+                from .flagship import update_rollup
+
+                update_rollup(
+                    spark, rollup_root, int(batch_id), new,
+                    rollup_key_expr, fold, rollup_assign,
+                )
         read_bytes = _jvm_read_bytes() - r0
         # per-batch lineage + throughput record (north_rule: resumable with
         # per-partition lineage + metrics). Same idempotent overwrite layout

@@ -1373,6 +1373,190 @@ class TestIncrementalClusters:
         assert before == after == [(3, 3), (5, 3), (9, 3)]
 
 
+class TestIncrementalFlagshipRollup:
+    """streaming.flagship: the published per-(city, tile) keeper rollup
+    maintained as a retraction delta log — summing the log must equal the
+    batch rollup after every micro-batch, for any arrival order and any
+    edge/batch split, with replays and mid-run compaction."""
+
+    @staticmethod
+    def _assign(df):
+        from pyspark.sql import functions as F
+
+        return df.withColumn(
+            "city_id", F.expr("CAST(point_id % 5 AS STRING)")
+        ).withColumn("tile_id", F.expr("CAST(point_id % 7 AS INT)"))
+
+    @staticmethod
+    def _truth(arrived, edges):
+        """Batch ground truth: min-label union-find over `edges`, every
+        arrived vertex a cluster member (singletons included), keepers
+        aggregated per (root % 5, root % 7)."""
+        parent = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        sizes = {}
+        for v in arrived:
+            sizes[find(v)] = sizes.get(find(v), 0) + 1
+        out = {}
+        for r, s in sizes.items():
+            key = (str(r % 5), r % 7)
+            dk, di = out.get(key, (0, 0))
+            out[key] = (dk + 1, di + s)
+        return out
+
+    def _fold_batch(self, spark, clusters_root, rollup_root, bid,
+                    arrivals, edges):
+        import pandas as pd
+
+        from osm2mp_spark.streaming.clusters import update_clusters
+        from osm2mp_spark.streaming.flagship import update_rollup
+
+        pairs = spark.createDataFrame(
+            pd.DataFrame(edges, columns=["id_a", "id_b"])
+        ) if edges else spark.createDataFrame([], "id_a long, id_b long")
+        fold = update_clusters(
+            spark, clusters_root, bid, pairs,
+            "CAST(id_a AS BIGINT)", "CAST(id_b AS BIGINT)",
+        )
+        sigs = spark.createDataFrame(
+            [(v,) for v in arrivals] or [], "vertex long"
+        )
+        update_rollup(
+            spark, rollup_root, bid, sigs, "vertex", fold, self._assign
+        )
+
+    @staticmethod
+    def _read(spark, rollup_root):
+        from osm2mp_spark.streaming.flagship import read_rollup
+
+        return {
+            (r.city_id, int(r.tile_id)): (int(r.n_keepers), int(r.n_images))
+            for r in read_rollup(spark, rollup_root).collect()
+        }
+
+    def test_random_arrivals_edges_splits(self, spark, tmp_path):
+        """Fuzz: random vertex arrival batches, random edges assigned to
+        any batch at/after both endpoints' arrival, log == truth after
+        EVERY batch."""
+        import random
+
+        rng = random.Random(20260818)
+        for case in range(3):
+            verts = list(range(rng.randint(8, 26)))
+            rng.shuffle(verts)
+            n_batches = rng.randint(2, 5)
+            arrival_of, arrivals = {}, [[] for _ in range(n_batches)]
+            for v in verts:
+                b = rng.randrange(n_batches)
+                arrival_of[v] = b
+                arrivals[b].append(v)
+            batch_edges = [[] for _ in range(n_batches)]
+            for _ in range(rng.randint(3, 18)):
+                a, b = rng.sample(verts, 2)
+                lo = max(arrival_of[a], arrival_of[b])
+                batch_edges[rng.randrange(lo, n_batches)].append((a, b))
+            croot = str(tmp_path / f"c{case}" / "clusters")
+            rroot = str(tmp_path / f"c{case}" / "rollup")
+            seen_v, seen_e = [], []
+            for bid in range(n_batches):
+                self._fold_batch(
+                    spark, croot, rroot, bid, arrivals[bid],
+                    batch_edges[bid],
+                )
+                seen_v += arrivals[bid]
+                seen_e += batch_edges[bid]
+                got = self._read(spark, rroot)
+                want = self._truth(seen_v, seen_e)
+                assert got == want, (
+                    f"case {case} diverged at batch {bid}: "
+                    f"{got} != {want}"
+                )
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        croot = str(tmp_path / "clusters")
+        rroot = str(tmp_path / "rollup")
+        self._fold_batch(spark, croot, rroot, 0, [5, 9, 30], [(5, 9)])
+        self._fold_batch(spark, croot, rroot, 1, [3], [(9, 3), (3, 30)])
+        before = self._read(spark, rroot)
+        # crash replay of batch 1: identical recompute, sums unchanged
+        self._fold_batch(spark, croot, rroot, 1, [3], [(9, 3), (3, 30)])
+        after = self._read(spark, rroot)
+        assert before == after == self._truth(
+            [5, 9, 30, 3], [(5, 9), (9, 3), (3, 30)]
+        )
+
+    def test_merge_retracts_moved_root(self, spark, tmp_path):
+        """A merge that MOVES the root must retract both old rows and add
+        exactly one row at the new root's cell."""
+        croot = str(tmp_path / "clusters")
+        rroot = str(tmp_path / "rollup")
+        # roots 10 (cluster {10,12}) and 21 (cluster {21,22}) — cells
+        # ("0", 3) and ("1", 0)
+        self._fold_batch(spark, croot, rroot, 0, [10, 12, 21, 22],
+                         [(10, 12), (21, 22)])
+        assert self._read(spark, rroot) == {
+            ("0", 3): (1, 2), ("1", 0): (1, 2),
+        }
+        # merge via (12, 21): root becomes 10 — 21's row must vanish
+        self._fold_batch(spark, croot, rroot, 1, [], [(12, 21)])
+        assert self._read(spark, rroot) == {("0", 3): (1, 4)}
+
+    def test_compaction_preserves_sums_and_prunes_sizes(
+        self, spark, tmp_path
+    ):
+        import pandas as pd
+
+        from osm2mp_spark.streaming.dedup import BATCH_METRICS_SCHEMA
+        from osm2mp_spark.streaming.flagship import (
+            _sizes_for,
+            compact_rollup,
+        )
+
+        croot = str(tmp_path / "clusters")
+        rroot = str(tmp_path / "rollup")
+        store = str(tmp_path / "store")
+        self._fold_batch(spark, croot, rroot, 0, [1, 2, 3, 4],
+                         [(1, 2), (3, 4)])
+        self._fold_batch(spark, croot, rroot, 1, [8], [(2, 3)])
+        # certify both batches so compaction may merge them
+        for b in (0, 1):
+            spark.createDataFrame(
+                pd.DataFrame([{
+                    "batch_id": b, "n_images": 0, "n_pairs": 0,
+                    "secs": 0.0, "images_per_sec": 0.0,
+                    "store_rows_scanned": 0, "read_bytes": 0,
+                }]), BATCH_METRICS_SCHEMA,
+            ).write.mode("overwrite").parquet(
+                f"{store}/metrics/batch={b:09d}"
+            )
+        before = self._read(spark, rroot)
+        horizon = compact_rollup(spark, rroot, store)
+        assert horizon == 2
+        assert self._read(spark, rroot) == before == self._truth(
+            [1, 2, 3, 4, 8], [(1, 2), (3, 4), (2, 3)]
+        )
+        # sizes store now holds only the latest row per root: root 1's
+        # size-2 record from batch 0 was superseded by the size-4 merge
+        # (retired root 3's record is stale but harmless — current-root
+        # lookups can never reach it)
+        assert _sizes_for(spark, f"{rroot}/sizes", [1, 3]) == {1: 4, 3: 2}
+        # folding AFTER compaction still reads state correctly
+        self._fold_batch(spark, croot, rroot, 2, [9], [(9, 8)])
+        assert self._read(spark, rroot) == self._truth(
+            [1, 2, 3, 4, 8, 9], [(1, 2), (3, 4), (2, 3), (9, 8)]
+        )
+
+
 class TestPrunedScanCrossover:
     """Past the plan-size ceiling, pruning continues as long as the
     predicted pruned read (keys × max row-group rows) stays under the
