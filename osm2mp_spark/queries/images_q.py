@@ -638,6 +638,106 @@ def image_dedup_clusters_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- multimodal image × caption joint dedup: the corpus is the BASELINE
+# input_hint's (image_id, bytes, w, h, fmt, caption) pair-table shape, and
+# the dedup decision reads BOTH modalities — re-encodes keep the caption
+# verbatim, meme/crop variants drift it, so near-dup image pairs split into
+# a same-caption regime (safe to drop) and a caption-drift regime (text
+# differs: keep both captions / needs policy).
+
+
+@register("image_captions", oracle=golden_oracle("image_captions"))
+def image_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption column of the image+caption pair corpus, golden-pinned —
+    generated bytes-free (no pixel synthesis/encode on this leg); the
+    shared caption rule (sources.images.phash_corpus_caption) makes it
+    exactly the caption column generate_phash_corpus_df carries.
+    variants=2 so BOTH planted regimes exist: 'd' re-encodes keep the
+    caption verbatim, 'e' variants drift it."""
+    from ..sources.images import generate_captions_df
+
+    return generate_captions_df(spark, _n_for(spark, sf_dir), variants=2)
+
+
+def _multimodal_dedup_oracle(max_hamming: int = 7) -> str | None:
+    """All-pairs 4-word Hamming join over the golden wide signatures
+    (independent of Spark's banded plan) joined to the golden captions on
+    both sides; token-set overlap via DuckDB list functions — an entirely
+    different evaluation path from Spark's array functions."""
+    from . import golden_path
+
+    sig = golden_path("image_dhash_wide_multi")
+    cap = golden_path("image_captions")
+    if sig is None or cap is None:
+        return None
+    ham = " + ".join(
+        f"CAST(bit_count(xor(a.h{i}, b.h{i})) AS INT)" for i in range(4)
+    )
+    return f"""
+WITH p AS (
+  SELECT a.image_id AS id_a, b.image_id AS id_b, CAST({ham} AS INT) AS hamming
+  FROM read_parquet('{sig}') a JOIN read_parquet('{sig}') b
+    ON a.image_id < b.image_id
+  WHERE {ham} <= {max_hamming}),
+c AS (SELECT image_id, caption,
+             list_distinct(string_split(caption, ' ')) AS toks
+      FROM read_parquet('{cap}'))
+SELECT p.id_a, p.id_b, p.hamming,
+       CAST(len(list_intersect(ca.toks, cb.toks)) AS INT) AS n_inter,
+       CAST(len(list_distinct(list_concat(ca.toks, cb.toks))) AS INT)
+         AS n_union,
+       (ca.caption = cb.caption) AS same_caption
+FROM p
+JOIN c ca ON ca.image_id = p.id_a
+JOIN c cb ON cb.image_id = p.id_b
+-- GOLDEN sf0.01
+"""
+
+
+@register("multimodal_dedup", oracle=_multimodal_dedup_oracle())
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint image × caption near-dup classification over the pair table:
+    candidate pairs come from the at-scale banded 256-bit Hamming join
+    (never from text — captions of unrelated images can collide), then
+    each pair is scored on the caption leg: exact caption equality and
+    token-set overlap (n_inter/n_union — Jaccard as two exact ints, no
+    float division in the gate). The caption side carries no bytes and is
+    size-gate-broadcast into both joins."""
+    from ..operators.images import dhash_wide_images, wide_hamming_pairs
+    from ..plans.hints import maybe_broadcast
+    from ..sources.images import (
+        generate_captions_df,
+        generate_phash_corpus_df,
+    )
+
+    n = _n_for(spark, sf_dir)
+    corpus = generate_phash_corpus_df(spark, n, variants=2)
+    pairs = wide_hamming_pairs(dhash_wide_images(corpus), max_hamming=7)
+    caps = generate_captions_df(spark, n, variants=2).select(
+        "image_id", "caption",
+        F.array_distinct(F.split("caption", " ")).alias("toks"),
+    )
+    ca = caps.select(
+        F.col("image_id").alias("id_a"), F.col("caption").alias("cap_a"),
+        F.col("toks").alias("toks_a"),
+    )
+    cb = caps.select(
+        F.col("image_id").alias("id_b"), F.col("caption").alias("cap_b"),
+        F.col("toks").alias("toks_b"),
+    )
+    est = 3 * n  # corpus ids ≤ n·(1 + variants/dup_every) < 3n
+    return (
+        pairs.join(maybe_broadcast(ca, est_rows=est), "id_a")
+        .join(maybe_broadcast(cb, est_rows=est), "id_b")
+        .select(
+            "id_a", "id_b", "hamming",
+            F.size(F.array_intersect("toks_a", "toks_b")).alias("n_inter"),
+            F.size(F.array_union("toks_a", "toks_b")).alias("n_union"),
+            (F.col("cap_a") == F.col("cap_b")).alias("same_caption"),
+        )
+    )
+
+
 # --- flagship × wide-dedup composition (VERDICT r04 ask #2): the headline
 # e2e covers the at-scale dedup path, not just geometry.
 

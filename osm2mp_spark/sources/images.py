@@ -346,7 +346,13 @@ def phash_corpus_row(idx: int, dup: bool, variant: int = 0) -> dict:
     `idx`: identical pattern AND noise (both derive from the ORIGINAL id), a
     sparse additive perturbation, and a rotated codec — so the pair crosses
     a lossless/lossy codec boundary whenever possible. All perturbed values
-    stay ≤ 248 (no uint8 wrap)."""
+    stay ≤ 248 (no uint8 wrap).
+
+    Captions follow the image+caption pair table shape (BASELINE
+    input_hint): variant 'd' keeps the original's caption verbatim (a pure
+    re-encode — same caption), variant 'e' drifts it (the meme/crop case:
+    near-dup pixels, altered text) — so joint image×caption dedup policies
+    have both regimes planted."""
     base_id = f"pimg{idx:09d}"
     w, h = W_CHOICES[idx % 3], H_CHOICES[idx % 3]
     px = pattern_pixels_for(base_id, w, h)
@@ -364,10 +370,55 @@ def phash_corpus_row(idx: int, dup: bool, variant: int = 0) -> dict:
         "w": w,
         "h": h,
         "fmt": fmt,
+        "caption": phash_corpus_caption(idx, dup, variant),
     }
 
 
-PHASH_CORPUS_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string"
+def phash_corpus_caption(idx: int, dup: bool = False, variant: int = 0) -> str:
+    """Caption rule shared by the full corpus generator and the bytes-free
+    caption generator — one source of truth so the two can never drift."""
+    c = caption_for(idx)
+    if dup and _DUP_VARIANTS[variant][0] == "e":
+        c += " alt"
+    return c
+
+
+def generate_captions_df(spark, n: int, dup_every: int = 7,
+                         partitions: int | None = None, variants: int = 1):
+    """(image_id, caption) for the SAME ids generate_phash_corpus_df emits,
+    WITHOUT synthesizing pixels or encoding bytes — the cheap caption leg
+    for joint image×caption queries (generating megabytes of image payload
+    just to drop every column but the caption would be wasted work AND a
+    second full decode pass)."""
+    import pandas as pd
+
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    rng = spark.range(
+        0, n, 1, partitions or spark.sparkContext.defaultParallelism
+    )
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                idx = int(i)
+                rows.append((f"pimg{idx:09d}", phash_corpus_caption(idx)))
+                if idx % dup_every == 0:
+                    for v in range(variants):
+                        rows.append((
+                            f"pimg{idx:09d}" + _DUP_VARIANTS[v][0],
+                            phash_corpus_caption(idx, True, v),
+                        ))
+            yield pd.DataFrame(rows, columns=["image_id", "caption"])
+
+    return rng.mapInPandas(gen, schema="image_id string, caption string")
+
+
+PHASH_CORPUS_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, caption string"
+)
 
 
 def generate_phash_corpus_df(spark, n: int, dup_every: int = 7,

@@ -426,6 +426,45 @@ class TestPhashDedup:
             assert base in set(grp.neighbor_id)  # the original always found
 
 
+class TestCaptionLeg:
+    """The image+caption pair-table caption column (input_hint shape) and
+    its bytes-free twin generator."""
+
+    def test_captions_match_full_corpus_exactly(self, spark):
+        """generate_captions_df must emit EXACTLY the (image_id, caption)
+        pairs the full corpus carries — same ids, same caption rule — or
+        multimodal_dedup's cheap caption leg silently drifts from the
+        table it claims to describe."""
+        from osm2mp_spark.sources.images import (
+            generate_captions_df,
+            generate_phash_corpus_df,
+        )
+
+        full = {
+            (r.image_id, r.caption)
+            for r in generate_phash_corpus_df(spark, 40, variants=2)
+            .select("image_id", "caption").collect()
+        }
+        light = {
+            (r.image_id, r.caption)
+            for r in generate_captions_df(spark, 40, variants=2).collect()
+        }
+        assert full == light and len(full) == 40 + 2 * 6
+
+    def test_caption_regimes(self, spark):
+        """'d' re-encodes keep the caption verbatim; 'e' variants drift."""
+        from osm2mp_spark.sources.images import generate_captions_df
+
+        caps = {
+            r.image_id: r.caption
+            for r in generate_captions_df(spark, 15, variants=2).collect()
+        }
+        for idx in (0, 7, 14):
+            base = f"pimg{idx:09d}"
+            assert caps[base + "d"] == caps[base]
+            assert caps[base + "e"] == caps[base] + " alt"
+
+
 class TestWideSignatures:
     """256-bit wide signature family (image_dhash_wide / image_dedup_wide /
     image_ann_topk_wide) — the at-scale Hamming configuration."""

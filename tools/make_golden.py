@@ -31,7 +31,7 @@ GOLDEN_QUERIES = [
     # multimodal payload queries: engine-generated tables, no DuckDB view
     # possible — all aggregates are order-independent exact arithmetic
     "image_verify", "image_spatial_join", "image_dhash", "image_dhash_multi",
-    "image_dhash_wide", "image_dhash_wide_multi",
+    "image_dhash_wide", "image_dhash_wide_multi", "image_captions",
     "image_resize_stats", "video_frame_sample",
     "audio_verify", "audio_features", "audio_spectrogram",
 ]
