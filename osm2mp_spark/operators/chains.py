@@ -347,6 +347,20 @@ def fix_close_nodes_walk(
     )
 
 
+# Crossover for min_label_components: at or below this many (directed)
+# edges the component labeling runs as a DRIVER union-find over the
+# checkpointed edge list instead of the distributed fixpoint. Rationale
+# (measured r3/r5): each pointer-doubling round costs ~0.4-0.5 s of FIXED
+# job overhead at local[32] regardless of data volume, and a converged run
+# takes 3-6 rounds — while a driver union-find over ≤200k edges is
+# milliseconds and a few MB. Above the bound the distributed path is the
+# only one that scales (a 100-TB corpus' near-dup pair graph can hold
+# billions of edges); the bound is what keeps driver memory safe, exactly
+# like the pruned-scan key crossover bounds plan size.
+_DRIVER_EDGES_CONF = "spark.osm2mp.components.driverMaxEdges"
+_DEFAULT_DRIVER_EDGES = 200_000
+
+
 def min_label_components(
     edges: DataFrame,
     src: str = "src",
@@ -361,12 +375,51 @@ def min_label_components(
     Each round: take the min of own and neighbors' labels, then jump through
     the label (doubling) — O(log component-diameter) rounds, one job per
     round (lazy checkpoint materialized by the monotone sum-of-labels
-    convergence witness)."""
+    convergence witness).
+
+    ADAPTIVE: the edge list is checkpointed first (both paths need it
+    materialized), then one cheap count on the cached frame picks the
+    plan — a driver union-find when the graph fits the bounded crossover
+    (identical labels by construction: union-by-min root = component
+    minimum), the distributed fixpoint otherwise."""
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .localCheckpoint(eager=True)
     )
+    spark = edges.sparkSession
+    max_edges = int(
+        spark.conf.get(_DRIVER_EDGES_CONF, str(_DEFAULT_DRIVER_EDGES))
+    )
+    if und.count() <= 2 * max_edges:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        verts = set()
+        for row in und.toLocalIterator():
+            a, b = row[0], row[1]
+            verts.add(a)
+            verts.add(b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        from pyspark.sql import types as T
+
+        vt = und.schema[0].dataType
+        schema = T.StructType([
+            T.StructField("vertex", vt), T.StructField("label", vt)
+        ])
+        return spark.createDataFrame(
+            [(v, find(v)) for v in sorted(verts)], schema
+        )
     labels = (
         und.select(F.col("a").alias("vertex")).distinct()
         .withColumn("label", F.col("vertex"))

@@ -755,3 +755,54 @@ class TestIncrementalClustersProperty:
                 for r in read_labels(spark, root).collect()
             }
             assert got == expected, f"case {case} diverged"
+
+
+class TestAdaptiveComponentsCrossover:
+    """min_label_components picks a driver union-find at/below the bounded
+    edge crossover and the distributed pointer-doubling fixpoint above it —
+    both must label identically (label = component minimum)."""
+
+    def test_paths_agree_on_random_graphs(self, spark):
+        import random
+
+        from osm2mp_spark.operators.chains import min_label_components
+
+        rng = random.Random(20260819)
+        for case in range(3):
+            edges = [
+                (rng.randrange(60), rng.randrange(60)) for _ in range(40)
+            ]
+            edges = [(a, b) for a, b in edges if a != b]
+            df = spark.createDataFrame(edges, "src long, dst long")
+            try:
+                spark.conf.set(
+                    "spark.osm2mp.components.driverMaxEdges", "1000000"
+                )
+                drv = sorted(
+                    (int(r.vertex), int(r.label))
+                    for r in min_label_components(df).collect()
+                )
+                spark.conf.set(
+                    "spark.osm2mp.components.driverMaxEdges", "0"
+                )
+                dist = sorted(
+                    (int(r.vertex), int(r.label))
+                    for r in min_label_components(df).collect()
+                )
+            finally:
+                spark.conf.unset("spark.osm2mp.components.driverMaxEdges")
+            assert drv == dist, f"case {case} diverged"
+            # label = component minimum: no label exceeds its vertex
+            assert all(l <= v for v, l in drv)
+
+    def test_driver_path_preserves_key_type(self, spark):
+        from osm2mp_spark.operators.chains import min_label_components
+
+        df = spark.createDataFrame(
+            [(1 << 40, (1 << 40) + 1)], "src long, dst long"
+        )
+        out = min_label_components(df)
+        assert dict(out.dtypes)["vertex"] == "bigint"
+        assert {(int(r.vertex), int(r.label)) for r in out.collect()} == {
+            (1 << 40, 1 << 40), ((1 << 40) + 1, 1 << 40)
+        }
