@@ -37,10 +37,9 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from .dedup import (
     _SPARK_FOR_FS,
     _batch_dirs,
+    _commit_compacted,
     _compacted_dir,
-    _exists,
     _join,
-    _rename,
     _rmtree,
     pruned_store_scan,
 )
@@ -219,29 +218,19 @@ def compact_topk_state(
     if comp:
         merged = spark.read.parquet(comp).unionByName(merged)
     n_parts = num_files or spark.sparkContext.defaultParallelism
-    tmp = _join(state_root, f"compacted={horizon}.tmp")
-    final = _join(state_root, f"compacted={horizon}")
-    _rmtree(tmp)
-    (
-        _latest_per_query(merged)
-        .repartitionByRange(n_parts, "query_id")
-        .sortWithinPartitions("query_id")
-        .write.mode("overwrite")
-        .option("parquet.block.size", block_bytes)
-        .parquet(tmp)
+    _commit_compacted(
+        state_root, horizon,
+        lambda tmp: (
+            _latest_per_query(merged)
+            .repartitionByRange(n_parts, "query_id")
+            .sortWithinPartitions("query_id")
+            .write.mode("overwrite")
+            .option("parquet.block.size", block_bytes)
+            .parquet(tmp)
+        ),
+        sources=[d for d, i in zip(deltas, ids) if i < horizon],
+        old_comp=comp,
     )
-    _rmtree(final)
-    _rename(tmp, final)
-    if not _exists(final):
-        raise IOError(
-            f"compacted ANN state {final} missing after rename — refusing "
-            f"to delete merged sources"
-        )
-    for d, i in zip(deltas, ids):
-        if i < horizon:
-            _rmtree(d)
-    if comp:
-        _rmtree(comp)
     return horizon
 
 

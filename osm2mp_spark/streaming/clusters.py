@@ -42,23 +42,15 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .dedup import (
     _SPARK_FOR_FS,
     _batch_dirs,
+    _chunked_in_parts,
+    _commit_compacted,
     _compacted_dir,
-    _exists,
     _join,
-    _rename,
-    _rmtree,
-    pruned_store_scan,
+    _tail_dirs,
 )
 
 LABELS_SCHEMA = "vertex long, label long"
 FORWARD_SCHEMA = "from_label long, to_label long"
-
-
-def _tail(root: str, n: int, below: int | None = None) -> list[str]:
-    return [
-        d for d in _batch_dirs(root, below)
-        if int(re.search(r"batch=(\d+)$", d).group(1)) >= n
-    ]
 
 
 def _forward_map(spark: SparkSession, forward_root: str,
@@ -94,42 +86,14 @@ def _labels_for(
     below: int | None = None,
 ) -> dict[int, int]:
     """Stored (vertex → label-at-write-time) for the given vertex set:
-    pruned scan of the vertex-sorted compacted prefix + the delta tail."""
+    chunked-In point lookup (_chunked_in_parts — row-group pruning on the
+    vertex-sorted compacted prefix, and the filter also bounds the driver
+    collect) over compacted prefix + delta tail."""
     comp, n = _compacted_dir(labels_root)
     out: dict[int, int] = {}
-    parts = []
-    if comp is not None:
-        # chunked In filters directly (NOT pruned_store_scan, whose cost
-        # crossover can fall back to an UNFILTERED full scan — fine for
-        # DataFrame consumers, fatal here where every returned row is
-        # collect()ed to the driver: the filter bounds the collect)
-        from .dedup import _PUSHDOWN_CHUNK
-
-        c = spark.read.parquet(comp)
-        spark.conf.set(
-            "spark.sql.parquet.pushdown.inFilterThreshold",
-            str(_PUSHDOWN_CHUNK + 1),
-        )
-        for i in range(0, len(vertices), _PUSHDOWN_CHUNK):
-            parts.append(
-                c.filter(
-                    F.col("vertex").isin(vertices[i:i + _PUSHDOWN_CHUNK])
-                )
-            )
-    tail = _tail(labels_root, n, below)
-    if tail:
-        # the In filter both prunes the read AND bounds the driver collect
-        # below — keep it always, but chunk the literal list so a dup-heavy
-        # batch's giant vertex set can't bloat a single plan (same chunk
-        # size as pruned_store_scan)
-        from .dedup import _PUSHDOWN_CHUNK
-
-        t = spark.read.parquet(*tail)
-        for i in range(0, len(vertices), _PUSHDOWN_CHUNK):
-            parts.append(
-                t.filter(F.col("vertex").isin(vertices[i:i + _PUSHDOWN_CHUNK]))
-            )
-    for p in parts:
+    for p in _chunked_in_parts(
+        spark, comp, _tail_dirs(labels_root, n, below), vertices, "vertex"
+    ):
         for r in p.collect():
             out[int(r.vertex)] = int(r.label)
     return out
@@ -249,7 +213,7 @@ def read_labels(spark: SparkSession, labels_root: str) -> DataFrame:
     _SPARK_FOR_FS[0] = spark
     labels_dir = _join(labels_root, "labels")
     comp, n = _compacted_dir(labels_dir)
-    dirs = ([comp] if comp else []) + _tail(labels_dir, n)
+    dirs = ([comp] if comp else []) + _tail_dirs(labels_dir, n)
     if not dirs:
         return spark.createDataFrame([], LABELS_SCHEMA)
     lab = spark.read.parquet(*dirs)
@@ -319,29 +283,18 @@ def compact_labels(
             .select("vertex", F.coalesce("to_label", "label").alias("label"))
         )
     n_parts = num_files or spark.sparkContext.defaultParallelism
-    tmp = _join(labels_dir, f"compacted={horizon}.tmp")
-    final = _join(labels_dir, f"compacted={horizon}")
-    _rmtree(tmp)
-    (
-        lab.repartitionByRange(n_parts, "vertex")
-        .sortWithinPartitions("vertex")
-        .write.mode("overwrite")
-        .option("parquet.block.size", block_bytes)
-        .parquet(tmp)
+    _commit_compacted(
+        labels_dir, horizon,
+        lambda tmp: (
+            lab.repartitionByRange(n_parts, "vertex")
+            .sortWithinPartitions("vertex")
+            .write.mode("overwrite")
+            .option("parquet.block.size", block_bytes)
+            .parquet(tmp)
+        ),
+        sources=lab_batches + fwd_batches,
+        old_comp=comp,
     )
-    _rmtree(final)
-    _rename(tmp, final)
-    if not _exists(final):
-        raise IOError(
-            f"compacted labels {final} missing after rename — refusing to "
-            f"delete merged sources"
-        )
-    for d in lab_batches:
-        _rmtree(d)
-    for d in fwd_batches:
-        _rmtree(d)
-    if comp:
-        _rmtree(comp)
     return horizon
 
 

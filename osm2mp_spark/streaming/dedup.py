@@ -121,6 +121,75 @@ def _compacted_dir(root: str) -> tuple[str | None, int]:
     return best, best_n
 
 
+def _tail_dirs(root: str, n: int, below: int | None = None) -> list[str]:
+    """batch=<id> dirs with n <= id (< below) — the uncompacted tail."""
+    return [
+        d for d in _batch_dirs(root, below)
+        if int(re.search(r"batch=(\d+)$", d).group(1)) >= n
+    ]
+
+
+def _commit_compacted(
+    root: str, horizon: int, write, sources: list[str],
+    old_comp: str | None = None, strict: bool = True,
+) -> bool:
+    """The shared atomic-replace protocol every store compaction commits
+    through: write the merged content to `compacted=<horizon>.tmp` via
+    `write(tmp_path)`, rename into place, and VERIFY the final dir exists
+    before any destructive step — Hadoop FS rename reports failure by
+    returning False (_rename raises on it) but object stores can also lie,
+    so existence is checked explicitly. Only then are the merged `sources`
+    and the previous compacted dir deleted. strict=False returns False
+    instead of raising when the committed dir never materialized (callers
+    whose sources are safe to leave behind)."""
+    tmp = _join(root, f"compacted={horizon}.tmp")
+    final = _join(root, f"compacted={horizon}")
+    _rmtree(tmp)
+    write(tmp)
+    _rmtree(final)
+    _rename(tmp, final)
+    if not _exists(final):
+        if strict:
+            raise IOError(
+                f"compacted {final} missing after rename — refusing to "
+                f"delete merged sources"
+            )
+        return False
+    for d in sources:
+        _rmtree(d)
+    if old_comp:
+        _rmtree(old_comp)
+    return True
+
+
+def _chunked_in_parts(
+    spark: SparkSession, comp: str | None, tail: list[str], keys: list,
+    col: str,
+) -> list:
+    """Point-lookup scan parts for a bounded key set: chunked In filters
+    over the key-sorted compacted prefix (row-group pruning) AND the batch
+    tail — ALWAYS filtered, never the pruned_store_scan cost-crossover
+    fallback, because callers collect() every returned row to the driver
+    and the filter is what bounds that collect."""
+    parts = []
+    srcs = []
+    if comp is not None:
+        srcs.append(spark.read.parquet(comp))
+    if tail:
+        srcs.append(spark.read.parquet(*tail))
+    if srcs and keys:
+        spark.conf.set(
+            "spark.sql.parquet.pushdown.inFilterThreshold",
+            str(_PUSHDOWN_CHUNK + 1),
+        )
+    for s in srcs:
+        for i in range(0, len(keys), _PUSHDOWN_CHUNK):
+            parts.append(
+                s.filter(F.col(col).isin(keys[i:i + _PUSHDOWN_CHUNK]))
+            )
+    return parts
+
+
 def _store_dirs(root: str, below: int | None = None) -> list[str]:
     """Directories whose union is the signatures of all batches < `below`:
     the newest compacted prefix plus the uncompacted batch tail. NOTE the
@@ -325,24 +394,14 @@ def compact_pairs(
     merged = spark.read.parquet(*tail).select("id_a", "id_b", "hamming")
     if comp:
         merged = spark.read.parquet(comp).unionByName(merged)
-    tmp = _join(pairs_path, f"compacted={horizon}.tmp")
-    final = _join(pairs_path, f"compacted={horizon}")
-    _rmtree(tmp)
-    merged.coalesce(
-        num_files or spark.sparkContext.defaultParallelism
-    ).write.mode("overwrite").parquet(tmp)
-    _rmtree(final)
-    _rename(tmp, final)
-    if not _exists(final):
-        raise IOError(
-            f"compacted pairs {final} missing after rename — refusing to "
-            f"delete merged sources"
-        )
-    for d, i in zip(batches, ids):
-        if i < horizon:
-            _rmtree(d)
-    if comp:
-        _rmtree(comp)
+    _commit_compacted(
+        pairs_path, horizon,
+        lambda tmp: merged.coalesce(
+            num_files or spark.sparkContext.defaultParallelism
+        ).write.mode("overwrite").parquet(tmp),
+        sources=[d for d, i in zip(batches, ids) if i < horizon],
+        old_comp=comp,
+    )
     return horizon
 
 
@@ -414,51 +473,38 @@ def compact_store(
     if comp:
         merged = spark.read.parquet(comp).unionByName(merged)
     n_parts = num_files or spark.sparkContext.defaultParallelism
-    tmp = _join(store_path, f"compacted={horizon}.tmp")
-    final = _join(store_path, f"compacted={horizon}")
-    _rmtree(tmp)
-    (
-        merged.repartitionByRange(n_parts, "bandkey")
-        .sortWithinPartitions("bandkey")
-        .write.mode("overwrite")
-        .option("parquet.block.size", block_bytes)
-        .parquet(tmp)
+    _commit_compacted(
+        store_path, horizon,
+        lambda tmp: (
+            merged.repartitionByRange(n_parts, "bandkey")
+            .sortWithinPartitions("bandkey")
+            .write.mode("overwrite")
+            .option("parquet.block.size", block_bytes)
+            .parquet(tmp)
+        ),
+        sources=[d for d, i in zip(batches, ids) if i < horizon],
+        old_comp=comp,
     )
-    _rmtree(final)
-    _rename(tmp, final)
-    if not _exists(final):
-        raise IOError(
-            f"compacted store {final} missing after rename — refusing to "
-            f"delete merged sources"
-        )
-    # ---- only now is it safe to drop the merged inputs
-    for d, i in zip(batches, ids):
-        if i < horizon:
-            _rmtree(d)
-    if comp:
-        _rmtree(comp)
     # ---- roll certified metrics rows below the horizon into one file too.
     # Metric batch dirs BELOW the previous metrics horizon are crash-window
     # replays whose rows the previous compacted file already holds —
-    # including them would bake a duplicate row in permanently.
+    # including them would bake a duplicate row in permanently. Lenient
+    # commit (strict=False): the store commit above already succeeded, and
+    # uncompacted metric dirs are merely a listing-growth debt, safe to
+    # leave for the next compaction.
     mcomp, mcomp_n = _compacted_dir(metrics_root)
     msrcs = ([mcomp] if mcomp else []) + [
         d for d in metric_dirs
         if int(re.search(r"batch=(\d+)$", d).group(1)) >= mcomp_n
     ]
-    mtmp = _join(metrics_root, f"compacted={horizon}.tmp")
-    mfinal = _join(metrics_root, f"compacted={horizon}")
-    _rmtree(mtmp)
-    spark.read.parquet(*msrcs).coalesce(1).write.mode("overwrite").parquet(
-        mtmp
+    _commit_compacted(
+        metrics_root, horizon,
+        lambda tmp: spark.read.parquet(*msrcs).coalesce(1)
+        .write.mode("overwrite").parquet(tmp),
+        sources=metric_dirs,
+        old_comp=mcomp,
+        strict=False,
     )
-    _rmtree(mfinal)
-    _rename(mtmp, mfinal)
-    if _exists(mfinal):
-        for d in metric_dirs:
-            _rmtree(d)
-        if mcomp:
-            _rmtree(mcomp)
     return horizon
 
 
@@ -680,10 +726,26 @@ def start_incremental_dedup(
             if rollup_root is not None:
                 from .flagship import update_rollup
 
-                update_rollup(
-                    spark, rollup_root, int(batch_id), new,
-                    rollup_key_expr, fold, rollup_assign,
+                # CRASH-WINDOW GUARD: a replay of a batch whose metrics
+                # row already landed (certified, checkpoint-commit lost)
+                # may find the labels store compacted THROUGH this batch —
+                # the fold above then reads post-batch cluster state and
+                # degenerates to a no-op. For the state-idempotent labels
+                # that is harmless, but rollup deltas are INCREMENTS: a
+                # degenerate recompute would overwrite the correct
+                # deltas/batch dir. Certification is written AFTER the
+                # rollup, so it proves those outputs exist and are correct
+                # — keep them and skip the recompute.
+                mroot = _join(store_path, "metrics")
+                certified = (
+                    _compacted_dir(mroot)[1] > int(batch_id)
+                    or _exists(_join(mroot, f"batch={batch_id:09d}"))
                 )
+                if not certified:
+                    update_rollup(
+                        spark, rollup_root, int(batch_id), new,
+                        rollup_key_expr, fold, rollup_assign,
+                    )
         read_bytes = _jvm_read_bytes() - r0
         # per-batch lineage + throughput record (north_rule: resumable with
         # per-partition lineage + metrics). Same idempotent overwrite layout

@@ -42,7 +42,12 @@ one-shot `flagship_dedup` — the gate (streaming_incremental_flagship)
 checks this with the SAME composed DuckDB oracle. Replays are idempotent:
 every lookup is bounded strictly below the replayed batch id, outputs are
 idempotent per-batch overwrites, and read/compact skip sub-horizon replay
-dirs exactly like streaming.dedup.read_pairs.
+dirs exactly like streaming.dedup.read_pairs. Unlike the state-idempotent
+labels store, deltas are INCREMENTS — so a replay of an already-CERTIFIED
+batch (whose fold could read post-batch cluster state once the labels
+store compacts through it) must not recompute: process() skips
+update_rollup when the batch's metrics row exists, keeping the original
+(correct) delta dir in place.
 """
 
 from __future__ import annotations
@@ -54,23 +59,15 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .dedup import (
     _SPARK_FOR_FS,
     _batch_dirs,
+    _chunked_in_parts,
+    _commit_compacted,
     _compacted_dir,
-    _exists,
     _join,
-    _rename,
-    _rmtree,
-    _PUSHDOWN_CHUNK,
+    _tail_dirs,
 )
 
 DELTAS_SCHEMA = "city_id string, tile_id int, dk long, di long"
 SIZES_SCHEMA = "root long, size long, b long"
-
-
-def _tail(root: str, n: int, below: int | None = None) -> list[str]:
-    return [
-        d for d in _batch_dirs(root, below)
-        if int(re.search(r"batch=(\d+)$", d).group(1)) >= n
-    ]
 
 
 def _sizes_for(
@@ -78,30 +75,19 @@ def _sizes_for(
     below: int | None = None,
 ) -> dict[int, int]:
     """Latest stored size per root for the given root set (absent →
-    singleton, size 1 — only multi-member clusters are stored). Pruned
-    chunked-In reads of the root-sorted compacted prefix + the batch tail;
-    the In filter also bounds the driver collect to the affected roots."""
+    singleton, size 1 — only multi-member clusters are stored). Chunked-In
+    point lookup (row-group pruning on the root-sorted compacted prefix;
+    the filter also bounds the driver collect). `below` bounds the TAIL
+    only — the compacted prefix needs no bound because its horizon can
+    never pass an uncertified batch (compact_rollup merges certified
+    batches only), and a replay of a CERTIFIED batch never reaches this
+    lookup (the process() certification guard skips update_rollup), so
+    every read here sees state strictly below the batch being folded."""
     comp, n = _compacted_dir(sizes_root)
-    parts = []
-    if comp is not None:
-        c = spark.read.parquet(comp)
-        spark.conf.set(
-            "spark.sql.parquet.pushdown.inFilterThreshold",
-            str(_PUSHDOWN_CHUNK + 1),
-        )
-        for i in range(0, len(roots), _PUSHDOWN_CHUNK):
-            parts.append(
-                c.filter(F.col("root").isin(roots[i:i + _PUSHDOWN_CHUNK]))
-            )
-    tail = _tail(sizes_root, n, below)
-    if tail:
-        t = spark.read.parquet(*tail)
-        for i in range(0, len(roots), _PUSHDOWN_CHUNK):
-            parts.append(
-                t.filter(F.col("root").isin(roots[i:i + _PUSHDOWN_CHUNK]))
-            )
     best: dict[int, tuple[int, int]] = {}
-    for p in parts:
+    for p in _chunked_in_parts(
+        spark, comp, _tail_dirs(sizes_root, n, below), roots, "root"
+    ):
         for r in p.collect():
             k, cur = int(r.root), (int(r.b), int(r.size))
             if k not in best or cur[0] > best[k][0]:
@@ -133,14 +119,16 @@ def update_rollup(
     touched = fold["touched"]
     old_root, new_root = fold["old_root"], fold["new_root"]
 
+    # one touched-set frame reused by the semi-join here AND the
+    # singleton anti-join below
+    tdf = spark.createDataFrame(
+        [(v,) for v in touched] or [], "point_id long"
+    )
     # which touched vertices arrived THIS batch — semi-join instead of
     # collecting the arrival set: only the (≤ |touched|) intersection ever
     # reaches the driver, keeping driver state O(pairs), not O(batch)
     ta: set[int] = set()
     if touched:
-        tdf = spark.createDataFrame(
-            [(v,) for v in touched], "point_id long"
-        )
         ta = {
             int(r.point_id)
             for r in tdf.join(arrivals, "point_id", "left_semi").collect()
@@ -183,11 +171,7 @@ def update_rollup(
     # singleton arrivals: everything in the batch not touched by a pair —
     # distributed anti-join, never collected
     singles = (
-        arrivals.join(
-            spark.createDataFrame([(v,) for v in touched] or [],
-                                  "point_id long"),
-            "point_id", "left_anti",
-        )
+        arrivals.join(tdf, "point_id", "left_anti")
         .select("point_id", F.lit(1).cast("long").alias("dk"),
                 F.lit(1).cast("long").alias("di"))
     )
@@ -216,14 +200,13 @@ def read_rollup(spark: SparkSession, rollup_root: str) -> DataFrame:
     _SPARK_FOR_FS[0] = spark
     deltas_root = _join(rollup_root, "deltas")
     comp, n = _compacted_dir(deltas_root)
-    dirs = ([comp] if comp else []) + _tail(deltas_root, n)
-    if not dirs:
-        return spark.createDataFrame(
-            [], "city_id string, tile_id int, n_keepers long, n_images long"
-        )
+    dirs = ([comp] if comp else []) + _tail_dirs(deltas_root, n)
+    log = (
+        spark.read.parquet(*dirs) if dirs
+        else spark.createDataFrame([], DELTAS_SCHEMA)
+    )
     return (
-        spark.read.parquet(*dirs)
-        .groupBy("city_id", "tile_id")
+        log.groupBy("city_id", "tile_id")
         .agg(F.sum("dk").alias("n_keepers"), F.sum("di").alias("n_images"))
         .filter("n_keepers != 0 OR n_images != 0")
     )
@@ -275,23 +258,14 @@ def compact_rollup(
             .agg(F.sum("dk").alias("dk"), F.sum("di").alias("di"))
             .filter("dk != 0 OR di != 0")
         )
-        tmp = _join(deltas_root, f"compacted={horizon}.tmp")
-        final = _join(deltas_root, f"compacted={horizon}")
-        _rmtree(tmp)
-        net.coalesce(
-            num_files or spark.sparkContext.defaultParallelism
-        ).write.mode("overwrite").parquet(tmp)
-        _rmtree(final)
-        _rename(tmp, final)
-        if not _exists(final):
-            raise IOError(
-                f"compacted deltas {final} missing after rename — refusing "
-                f"to delete merged sources"
-            )
-        for d in d_batches:
-            _rmtree(d)
-        if comp:
-            _rmtree(comp)
+        _commit_compacted(
+            deltas_root, horizon,
+            lambda tmp: net.coalesce(
+                num_files or spark.sparkContext.defaultParallelism
+            ).write.mode("overwrite").parquet(tmp),
+            sources=d_batches,
+            old_comp=comp,
+        )
 
     # ---- sizes: latest row per root, root-sorted for the pruned lookups
     scomp, scomp_n = _compacted_dir(sizes_root)
@@ -309,25 +283,16 @@ def compact_rollup(
                     F.col("m.b").alias("b"))
         )
         n_parts = num_files or spark.sparkContext.defaultParallelism
-        stmp = _join(sizes_root, f"compacted={horizon}.tmp")
-        sfinal = _join(sizes_root, f"compacted={horizon}")
-        _rmtree(stmp)
-        (
-            latest.repartitionByRange(n_parts, "root")
-            .sortWithinPartitions("root")
-            .write.mode("overwrite").parquet(stmp)
+        _commit_compacted(
+            sizes_root, horizon,
+            lambda tmp: (
+                latest.repartitionByRange(n_parts, "root")
+                .sortWithinPartitions("root")
+                .write.mode("overwrite").parquet(tmp)
+            ),
+            sources=s_batches,
+            old_comp=scomp,
         )
-        _rmtree(sfinal)
-        _rename(stmp, sfinal)
-        if not _exists(sfinal):
-            raise IOError(
-                f"compacted sizes {sfinal} missing after rename — refusing "
-                f"to delete merged sources"
-            )
-        for d in s_batches:
-            _rmtree(d)
-        if scomp:
-            _rmtree(scomp)
     return horizon
 
 

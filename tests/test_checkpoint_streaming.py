@@ -1511,6 +1511,136 @@ class TestIncrementalFlagshipRollup:
         self._fold_batch(spark, croot, rroot, 1, [], [(12, 21)])
         assert self._read(spark, rroot) == {("0", 3): (1, 4)}
 
+    def test_crash_between_label_and_rollup_compaction(
+        self, spark, tmp_path
+    ):
+        """THE partial-hook crash window (code-review finding): batch N is
+        certified, compact_labels commits THROUGH N, then the process dies
+        before compact_rollup and the checkpoint commit. The restarted
+        stream replays batch N — whose cluster fold now reads post-batch
+        (compacted) label state and degenerates to a no-op. For the
+        state-idempotent labels that is harmless; for the INCREMENT-based
+        rollup deltas a recompute would overwrite the correct delta dir
+        with the degenerate one. The certification guard in process() must
+        skip update_rollup on such replays, keeping the published sums
+        exact."""
+        import pandas as pd
+
+        from osm2mp_spark.plans.flagship import flagship_assign
+        from osm2mp_spark.queries.images_q import _img_key
+        from osm2mp_spark.sources.images import phash_corpus_row
+        from osm2mp_spark.sources.points import with_derived_position
+        from osm2mp_spark.streaming.clusters import compact_labels
+        from osm2mp_spark.streaming.dedup import (
+            compact_store,
+            start_incremental_dedup,
+        )
+        from osm2mp_spark.streaming.flagship import read_rollup
+
+        land = tmp_path / "landing"
+        land.mkdir()
+        # file order is the batch order (FileStreamSource sorts by mtime):
+        # the DUP of image 0 lands FIRST (batch 0: a counted singleton
+        # whose key 0*4+1 is its cluster root), the ORIGINAL lands second
+        # (batch 1: the pair appears and the root MOVES to the arrival's
+        # smaller key 0*4) — the exact shape whose degenerate replay loses
+        # the retraction of the old root's row
+        for rows in (
+            [phash_corpus_row(0, dup=True), phash_corpus_row(3, dup=False)],
+            [phash_corpus_row(0, dup=False), phash_corpus_row(7, dup=False),
+             phash_corpus_row(7, dup=True)],
+            [phash_corpus_row(1, dup=False)],
+        ):
+            spark.createDataFrame(pd.DataFrame(rows)).coalesce(
+                1
+            ).write.mode("append").parquet(str(land))
+            import time as _t
+
+            _t.sleep(1.05)  # distinct mtimes pin the batch order
+        schema = spark.read.parquet(str(land)).schema
+        store = str(tmp_path / "store")
+        clusters = str(tmp_path / "clusters")
+        rollup = str(tmp_path / "rollup")
+
+        def assign(df):
+            return flagship_assign(with_derived_position(df, "point_id"))
+
+        class Boom(Exception):
+            pass
+
+        def crashing_hook(batch_id):
+            if batch_id == 1:
+                # metrics row for batch 1 already landed (certified);
+                # compact labels THROUGH batch 1, then die before
+                # compact_rollup / checkpoint commit
+                compact_store(spark, store)
+                compact_labels(spark, clusters, store)
+                raise Boom()
+
+        def run(hook):
+            q = start_incremental_dedup(
+                spark, str(land), schema,
+                store_path=store,
+                pairs_path=str(tmp_path / "pairs"),
+                checkpoint_path=str(tmp_path / "ckpt"),
+                max_hamming=7, max_files_per_trigger=1,
+                on_batch_complete=hook,
+                clusters_root=clusters,
+                cluster_key_exprs=(_img_key("id_a"), _img_key("id_b")),
+                rollup_root=rollup,
+                rollup_key_expr=_img_key("image_id"),
+                rollup_assign=assign,
+            )
+            try:
+                q.awaitTermination()
+            finally:
+                q.stop()
+
+        try:
+            run(crashing_hook)
+        except Exception:
+            pass  # the planted mid-hook crash
+        run(None)  # restart: replays certified batch 1, then continues
+        got = {
+            (r.city_id, int(r.tile_id)): (int(r.n_keepers), int(r.n_images))
+            for r in read_rollup(spark, rollup).collect()
+        }
+        # one-shot truth over the same corpus
+        from osm2mp_spark.queries.images_q import flagship_dedup as _  # noqa
+        from osm2mp_spark.operators.images import (
+            dhash_wide_images,
+            wide_hamming_pairs,
+        )
+
+        corpus = spark.read.parquet(str(land))
+        sigs = dhash_wide_images(corpus).localCheckpoint(eager=False)
+        pairs = wide_hamming_pairs(sigs, max_hamming=7).selectExpr(
+            f"{_img_key('id_a')} AS ka", f"{_img_key('id_b')} AS kb"
+        )
+        from osm2mp_spark.operators.chains import min_label_components
+        from pyspark.sql import functions as F
+
+        labels = min_label_components(pairs, src="ka", dst="kb")
+        allv = (
+            sigs.selectExpr(f"{_img_key('image_id')} AS k")
+            .join(labels.withColumnRenamed("vertex", "k"), "k", "left")
+            .selectExpr("k", "COALESCE(label, k) AS cl")
+        )
+        sizes = allv.groupBy("cl").agg(F.count("*").alias("n"))
+        keepers = (
+            allv.filter("k = cl").join(sizes, "cl")
+            .selectExpr("k AS point_id", "n")
+        )
+        want = {
+            (r.city_id, int(r.tile_id)): (int(r.n_keepers), int(r.n_images))
+            for r in assign(keepers)
+            .groupBy("city_id", "tile_id")
+            .agg(F.count("*").alias("n_keepers"),
+                 F.sum("n").alias("n_images"))
+            .collect()
+        }
+        assert got == want
+
     def test_compaction_preserves_sums_and_prunes_sizes(
         self, spark, tmp_path
     ):
