@@ -738,6 +738,44 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _caption_exact_pairs_oracle() -> str | None:
+    """Self-join on caption over the golden caption table — byte-exact
+    text equality, the other engine's hash join."""
+    from . import golden_path
+
+    cap = golden_path("image_captions")
+    if cap is None:
+        return None
+    return f"""
+SELECT a.image_id AS id_a, b.image_id AS id_b, a.caption
+FROM read_parquet('{cap}') a JOIN read_parquet('{cap}') b
+  ON a.caption = b.caption AND a.image_id < b.image_id
+-- GOLDEN sf0.01
+"""
+
+
+@register("caption_exact_pairs", oracle=_caption_exact_pairs_oracle())
+def caption_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cheap TEXT leg of multimodal dedup: images sharing a
+    byte-identical caption (re-encodes keep the caption verbatim, so
+    every planted 'd' pair surfaces here WITHOUT decoding a single
+    pixel). At scale this is a plain equi-join on the caption hash —
+    shuffle-partitioned, no bands, no kernels — which is why real
+    pipelines run exact text dedup before any image work; the wide
+    Hamming join (multimodal_dedup) then catches the pixel-near dups
+    whose captions drifted."""
+    from ..sources.images import generate_captions_df
+
+    caps = generate_captions_df(spark, _n_for(spark, sf_dir), variants=2)
+    a = caps.select(F.col("image_id").alias("id_a"), "caption")
+    b = caps.select(F.col("image_id").alias("id_b"), "caption")
+    return (
+        a.join(b, "caption")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "caption")
+    )
+
+
 # --- flagship × wide-dedup composition (VERDICT r04 ask #2): the headline
 # e2e covers the at-scale dedup path, not just geometry.
 
