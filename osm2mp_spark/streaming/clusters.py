@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .dedup import (
     _SPARK_FOR_FS,
     _batch_dirs,
-    _chunked_in_parts,
+    _chunked_in_scan,
     _commit_compacted,
     _compacted_dir,
     _join,
@@ -86,17 +86,16 @@ def _labels_for(
     below: int | None = None,
 ) -> dict[int, int]:
     """Stored (vertex → label-at-write-time) for the given vertex set:
-    chunked-In point lookup (_chunked_in_parts — row-group pruning on the
+    chunked-In point lookup (_chunked_in_scan — row-group pruning on the
     vertex-sorted compacted prefix, and the filter also bounds the driver
-    collect) over compacted prefix + delta tail."""
+    collect) over compacted prefix + delta tail, one collect job."""
     comp, n = _compacted_dir(labels_root)
-    out: dict[int, int] = {}
-    for p in _chunked_in_parts(
+    scan = _chunked_in_scan(
         spark, comp, _tail_dirs(labels_root, n, below), vertices, "vertex"
-    ):
-        for r in p.collect():
-            out[int(r.vertex)] = int(r.label)
-    return out
+    )
+    if scan is None:
+        return {}
+    return {int(r.vertex): int(r.label) for r in scan.collect()}
 
 
 def update_clusters(

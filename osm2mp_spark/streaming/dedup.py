@@ -162,32 +162,35 @@ def _commit_compacted(
     return True
 
 
-def _chunked_in_parts(
+def _chunked_in_scan(
     spark: SparkSession, comp: str | None, tail: list[str], keys: list,
     col: str,
-) -> list:
-    """Point-lookup scan parts for a bounded key set: chunked In filters
-    over the key-sorted compacted prefix (row-group pruning) AND the batch
+):
+    """Point-lookup scan for a bounded key set: chunked In filters over
+    the key-sorted compacted prefix (row-group pruning) AND the batch
     tail — ALWAYS filtered, never the pruned_store_scan cost-crossover
     fallback, because callers collect() every returned row to the driver
-    and the filter is what bounds that collect."""
-    parts = []
+    and the filter is what bounds that collect. All chunk branches are
+    unioned into ONE DataFrame so the caller's collect is a single job
+    (each In filter still pushes down per-branch); returns None when
+    there is nothing to scan."""
     srcs = []
     if comp is not None:
         srcs.append(spark.read.parquet(comp))
     if tail:
         srcs.append(spark.read.parquet(*tail))
-    if srcs and keys:
-        spark.conf.set(
-            "spark.sql.parquet.pushdown.inFilterThreshold",
-            str(_PUSHDOWN_CHUNK + 1),
-        )
+    if not srcs or not keys:
+        return None
+    spark.conf.set(
+        "spark.sql.parquet.pushdown.inFilterThreshold",
+        str(_PUSHDOWN_CHUNK + 1),
+    )
+    out = None
     for s in srcs:
         for i in range(0, len(keys), _PUSHDOWN_CHUNK):
-            parts.append(
-                s.filter(F.col(col).isin(keys[i:i + _PUSHDOWN_CHUNK]))
-            )
-    return parts
+            part = s.filter(F.col(col).isin(keys[i:i + _PUSHDOWN_CHUNK]))
+            out = part if out is None else out.unionByName(part)
+    return out
 
 
 def _store_dirs(root: str, below: int | None = None) -> list[str]:

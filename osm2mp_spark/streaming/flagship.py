@@ -59,7 +59,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .dedup import (
     _SPARK_FOR_FS,
     _batch_dirs,
-    _chunked_in_parts,
+    _chunked_in_scan,
     _commit_compacted,
     _compacted_dir,
     _join,
@@ -84,11 +84,12 @@ def _sizes_for(
     lookup (the process() certification guard skips update_rollup), so
     every read here sees state strictly below the batch being folded."""
     comp, n = _compacted_dir(sizes_root)
-    best: dict[int, tuple[int, int]] = {}
-    for p in _chunked_in_parts(
+    scan = _chunked_in_scan(
         spark, comp, _tail_dirs(sizes_root, n, below), roots, "root"
-    ):
-        for r in p.collect():
+    )
+    best: dict[int, tuple[int, int]] = {}
+    if scan is not None:
+        for r in scan.collect():
             k, cur = int(r.root), (int(r.b), int(r.size))
             if k not in best or cur[0] > best[k][0]:
                 best[k] = cur
