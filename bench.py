@@ -193,6 +193,97 @@ def scale_session(cores: int, n: int, reps: int = 3) -> None:
     s.stop()
 
 
+def scale_session_cluster(n_execs: int, n: int, reps: int = 3) -> None:
+    """One pinned measurement session on a local-cluster master: n_execs
+    SEPARATE executor JVMs x 1 core each (invoked as a taskset subprocess
+    whose CPU mask the spawned worker/executor JVMs inherit) — the closest
+    single-box approximation of an N-executor cluster: real executor
+    processes, real serialized task dispatch, real shuffle over netty
+    between JVMs, no shared-heap shortcuts."""
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master(f"local-cluster[{n_execs},1,1536]")
+        .appName(f"bench-cluster-{n_execs}")
+        .config("spark.sql.shuffle.partitions", str(max(n_execs, 4)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "4g")
+        .config("spark.executor.memory", "1536m")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    _jvm_compute_job(s, n // 10).write.format("noop").mode("overwrite").save()
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        _jvm_compute_job(s, n).write.format("noop").mode("overwrite").save()
+        times.append(round(time.time() - t0, 2))
+    print(json.dumps({"execs": n_execs, "times": times}))
+    s.stop()
+
+
+def bench_two_level_cluster(
+    n_points: int = 120_000_000, sessions: int | None = None
+) -> dict:
+    """The north rule's two-cluster-size criterion evidenced with REAL
+    executor processes: the same JVM-compute flagship on a
+    local-cluster[N,1,·] vs local-cluster[4N,1,·] master — N and 4N
+    separate executor JVMs, each pinned-by-inheritance to a CPU set sized
+    to the executor count (so hardware scales with the cluster size, as on
+    a real fleet). Same interleaved best-of protocol as the thread-level
+    twin (bench_two_level_jvm); this variant additionally pays real
+    inter-JVM task dispatch and netty shuffle at both sizes."""
+    import subprocess
+
+    if sessions is None:
+        sessions = int(os.environ.get("SPARK_GRAFT_SCALE_SESSIONS", "3"))
+    me = os.path.abspath(__file__)
+    low, high = max(1, CPUS // 16), max(4, CPUS // 4)
+    if "SPARK_GRAFT_SCALE_LEVELS" in os.environ:
+        low, high = (
+            int(x) for x in os.environ["SPARK_GRAFT_SCALE_LEVELS"].split(",")
+        )
+    out: dict[int, list[float]] = {low: [], high: []}
+    for _ in range(sessions):
+        for execs in (low, high):
+            cmd = [
+                "taskset", "-c", f"0-{execs - 1}", sys.executable, me,
+                "--scale-session-cluster", str(execs), str(n_points),
+            ]
+            r = subprocess.run(cmd, capture_output=True, text=True)
+            if r.returncode != 0:
+                raise RuntimeError(
+                    f"cluster scale session (execs={execs}) failed "
+                    f"rc={r.returncode}: {r.stderr.strip()[-500:]}"
+                )
+            line = r.stdout.strip().splitlines()[-1]
+            times = json.loads(line)["times"]
+            if not times:
+                raise RuntimeError(
+                    f"cluster scale session (execs={execs}) produced no "
+                    f"timings"
+                )
+            out[execs].extend(times)
+    b_lo, b_hi = min(out[low]), min(out[high])
+    eff = (b_lo / b_hi) / (high / low)
+    return {
+        "job": "JVM-only compute flagship (expression kNN + grid tile + agg)",
+        "protocol": (
+            "local-cluster[N,1,1536] — N separate executor JVMs, taskset-"
+            "pinned by inheritance, interleaved sessions, best-of-all"
+        ),
+        "n_points": n_points,
+        "n_executors": low,
+        "n4_executors": high,
+        "timings_sec": {str(c): t for c, t in out.items()},
+        "rows_per_sec_n": round(n_points / b_lo, 1),
+        "rows_per_sec_4n": round(n_points / b_hi, 1),
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
 def bench_two_level_jvm(n_points: int = 120_000_000, sessions: int | None = None) -> dict:
     """Pinned N vs 4N protocol: each level runs in its own JVM pinned with
     `taskset -c 0-(cores-1)`, sessions interleaved (2,8)x3, one untimed
@@ -625,6 +716,13 @@ def main():
         return
     if "--skew" in sys.argv:
         print(json.dumps({"band_join_skew": bench_skew()}))
+        return
+    if "--scale-session-cluster" in sys.argv:
+        i = sys.argv.index("--scale-session-cluster")
+        scale_session_cluster(int(sys.argv[i + 1]), int(sys.argv[i + 2]))
+        return
+    if "--two-level-cluster" in sys.argv:
+        print(json.dumps({"two_level_cluster": bench_two_level_cluster()}))
         return
     if "--scale-session" in sys.argv:
         i = sys.argv.index("--scale-session")
