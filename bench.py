@@ -258,8 +258,13 @@ def bench_two_level_cluster(
                     f"cluster scale session (execs={execs}) failed "
                     f"rc={r.returncode}: {r.stderr.strip()[-500:]}"
                 )
-            line = r.stdout.strip().splitlines()[-1]
-            times = json.loads(line)["times"]
+            lines = r.stdout.strip().splitlines()
+            if not lines:
+                raise RuntimeError(
+                    f"cluster scale session (execs={execs}) exited 0 with "
+                    f"no output; stderr: {r.stderr.strip()[-500:]}"
+                )
+            times = json.loads(lines[-1])["times"]
             if not times:
                 raise RuntimeError(
                     f"cluster scale session (execs={execs}) produced no "
@@ -707,8 +712,12 @@ def bench_inc_ledger(n_batches: int = 14, batch_images: int = 2_000,
 
 def main():
     if "--inc-ledger-full" in sys.argv:
+        i = sys.argv.index("--inc-ledger-full")
+        rest = [a for a in sys.argv[i + 1:] if a.isdigit()]
+        nb = int(rest[0]) if rest else 10
+        bi = int(rest[1]) if len(rest) > 1 else 1_000
         print(json.dumps({"incremental_family_ledger": bench_inc_ledger(
-            full_family=True
+            n_batches=nb, batch_images=bi, full_family=True
         )}))
         return
     if "--inc-ledger" in sys.argv:

@@ -157,7 +157,11 @@ def _commit_compacted(
         return False
     for d in sources:
         _rmtree(d)
-    if old_comp:
+    # a rerun at an UNCHANGED horizon re-commits to the same path the old
+    # compacted dir occupied (reachable for labels/rollup, whose callers
+    # have no empty-tail early return): the rename already replaced it, so
+    # deleting old_comp here would delete the store's only compacted state
+    if old_comp and old_comp != final:
         _rmtree(old_comp)
     return True
 

@@ -1354,6 +1354,52 @@ class TestIncrementalClusters:
         lab = pd.read_parquet(f"{root}/labels/compacted=2")
         assert set(lab.label) == {5, 100}
 
+    def test_recommit_at_unchanged_horizon_keeps_state(
+        self, spark, tmp_path
+    ):
+        """Code-review regression: a compaction whose only inputs are
+        sub-horizon replay dirs recommits at the SAME horizon — the new
+        compacted dir occupies the old one's path, and deleting 'the old
+        compacted dir' afterwards would delete the store's only compacted
+        state (the _commit_compacted old_comp != final guard)."""
+        import glob
+
+        from osm2mp_spark.streaming.clusters import (
+            compact_labels,
+            read_labels,
+        )
+
+        root = str(tmp_path / "clusters")
+        store = str(tmp_path / "store")
+        self._fold(spark, root, 0, [(5, 9)])
+        self._fold(spark, root, 1, [(9, 30)])
+        for b in (0, 1):
+            spark.createDataFrame(
+                [(b, 1, 1, 1.0, 1.0, 0, 0)],
+                "batch_id long, n_images long, n_pairs long, secs double, "
+                "images_per_sec double, store_rows_scanned long, "
+                "read_bytes long",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{store}/metrics/batch={b:09d}"
+            )
+        assert compact_labels(spark, root, store) == 2
+        want = {
+            int(r.vertex): int(r.label)
+            for r in read_labels(spark, root).collect()
+        }
+        # a crash-window replay of certified batch 1 rewrites its (now
+        # degenerate, empty) delta dirs below the horizon...
+        self._fold(spark, root, 1, [(9, 30)])
+        # ...and the next compaction sees only sub-horizon inputs →
+        # horizon stays 2, the commit lands on the same path
+        assert compact_labels(spark, root, store) == 2
+        assert glob.glob(f"{root}/labels/compacted=2/*.parquet")
+        got = {
+            int(r.vertex): int(r.label)
+            for r in read_labels(spark, root).collect()
+        }
+        assert got == want == {5: 5, 9: 5, 30: 5}
+
     def test_replay_is_idempotent(self, spark, tmp_path):
         from osm2mp_spark.streaming.clusters import read_labels
 
@@ -1596,17 +1642,16 @@ class TestIncrementalFlagshipRollup:
             finally:
                 q.stop()
 
-        try:
-            run(crashing_hook)
-        except Exception:
-            pass  # the planted mid-hook crash
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="Boom"):
+            run(crashing_hook)  # ONLY the planted mid-hook crash passes
         run(None)  # restart: replays certified batch 1, then continues
         got = {
             (r.city_id, int(r.tile_id)): (int(r.n_keepers), int(r.n_images))
             for r in read_rollup(spark, rollup).collect()
         }
         # one-shot truth over the same corpus
-        from osm2mp_spark.queries.images_q import flagship_dedup as _  # noqa
         from osm2mp_spark.operators.images import (
             dhash_wide_images,
             wide_hamming_pairs,
