@@ -466,6 +466,69 @@ class TestImageIngestStream:
         assert (a.dhash == b.dhash).all()
 
 
+class TestLocalClusterExecutors:
+    """Multi-process execution: the same queries on a local-cluster master
+    (SEPARATE executor JVMs, each spawning its own Python workers fed by
+    the shipped package) must return bit-identical results to local mode —
+    the single-box proof that the Arrow-UDF path survives real executor
+    boundaries, complementing the spark-submit --py-files test."""
+
+    def test_arrow_udf_queries_match_local(self, spark, sf_dir):
+        import subprocess
+        import sys as _sys
+
+        import __spark_entry__ as entry
+
+        qs = entry.queries()
+        want = {
+            name: sorted(
+                tuple(r) for r in qs[name](spark, sf_dir).collect()
+            )
+            for name in ("pip_city", "image_dedup_wide")
+        }
+        import os as _os
+
+        repo = _os.path.dirname(_os.path.abspath(entry.__file__))
+        # the cluster session must live in its own process: two masters
+        # can't share one JVM/gateway
+        code = f"""
+import sys
+sys.path.insert(0, {repr(repo)})
+import json
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local-cluster[2,2,1536]")
+         .appName("udf-cluster-parity")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from osm2mp_spark.shipping import ensure_shipped
+ensure_shipped(spark)
+import __spark_entry__ as entry
+qs = entry.queries()
+out = {{}}
+for name in ("pip_city", "image_dedup_wide"):
+    out[name] = sorted([list(r) for r in qs[name](spark, {repr(sf_dir)}).collect()])
+print("RESULT:" + json.dumps(out))
+spark.stop()
+"""
+        r = subprocess.run(
+            [_sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=280,
+        )
+        assert r.returncode == 0, r.stderr[-1500:]
+        import json as _json
+
+        line = next(
+            l for l in r.stdout.splitlines() if l.startswith("RESULT:")
+        )
+        got = _json.loads(line[len("RESULT:"):])
+        for name in want:
+            assert [list(t) for t in want[name]] == got[name], name
+
+
 class TestSparkSubmitDeployment:
     def test_py_files_submit_and_resume(self, tmp_path):
         """The north rule's literal deployment shape: `spark-submit
