@@ -46,6 +46,7 @@ from .dedup import (
     _commit_compacted,
     _compacted_dir,
     _join,
+    _rmtree,
     _tail_dirs,
 )
 
@@ -265,6 +266,15 @@ def compact_labels(
         for d in lab_batches + fwd_batches
     ]
     horizon = max(ids) + 1
+    if horizon <= comp_n:
+        # every input is a sub-horizon crash-window replay dir — degenerate
+        # (empty) by construction, since a replay of a batch the compacted
+        # labels already resolve folds to a no-op. Dropping them is the
+        # whole job; recommitting at the unchanged horizon would only open
+        # a crash window where the store's one compacted copy is mid-swap.
+        for d in lab_batches + fwd_batches:
+            _rmtree(d)
+        return comp_n
     lab_tail = [
         d for d in lab_batches
         if int(re.search(r"batch=(\d+)$", d).group(1)) >= comp_n

@@ -63,6 +63,7 @@ from .dedup import (
     _commit_compacted,
     _compacted_dir,
     _join,
+    _rmtree,
     _tail_dirs,
 )
 
@@ -251,8 +252,14 @@ def compact_rollup(
         d for d in d_batches
         if int(re.search(r"batch=(\d+)$", d).group(1)) >= comp_n
     ]
-    srcs = ([comp] if comp else []) + tail
-    if srcs:
+    if not tail:
+        # only sub-horizon replay dirs (already represented in the
+        # compacted net, or never written thanks to the certification
+        # guard) — drop them, never recommit at an unchanged horizon
+        for d in d_batches:
+            _rmtree(d)
+    else:
+        srcs = ([comp] if comp else []) + tail
         net = (
             spark.read.parquet(*srcs)
             .groupBy("city_id", "tile_id")
@@ -274,8 +281,11 @@ def compact_rollup(
         d for d in s_batches
         if int(re.search(r"batch=(\d+)$", d).group(1)) >= scomp_n
     ]
-    ssrcs = ([scomp] if scomp else []) + stail
-    if ssrcs:
+    if not stail:
+        for d in s_batches:
+            _rmtree(d)
+    else:
+        ssrcs = ([scomp] if scomp else []) + stail
         latest = (
             spark.read.parquet(*ssrcs)
             .groupBy("root")
