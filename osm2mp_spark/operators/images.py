@@ -251,7 +251,8 @@ def dhash_images(df: DataFrame) -> DataFrame:
             rows = []
             for r in pdf.itertuples():
                 px = decode(bytes(r.bytes), r.fmt)
-                gray = px.astype(np.int64).sum(axis=2)  # r+g+b, exact
+                # r+g+b, exact — single-pass accumulate (no int64 copy of px)
+                gray = px.sum(axis=2, dtype=np.int64)
                 s, cnt = _block_sums(gray, 8, 9)
                 rows.append((r.image_id, _pack64(_compare_bits(s, cnt, 1))))
             yield pd.DataFrame(rows, columns=["image_id", "dhash"])
@@ -334,7 +335,7 @@ def wide_signature(px: np.ndarray) -> tuple[int, int, int, int]:
     """256-bit perceptual signature of one decoded image: 4 packed words,
     one per WIDE_GEOMETRIES entry. Exact integer arithmetic throughout —
     bit-stable at any parallelism (same contract as dhash_images)."""
-    pref = _prefix2d(px.astype(np.int64).sum(axis=2))
+    pref = _prefix2d(px.sum(axis=2, dtype=np.int64))
     words = []
     for rows_c, cols_c, axis in WIDE_GEOMETRIES:
         s, cnt = _block_sums_from_prefix(pref, rows_c, cols_c)

@@ -190,7 +190,12 @@ def image_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.images import generate_phash_corpus_df
 
     corpus = generate_phash_corpus_df(spark, _n_for(spark, sf_dir))
-    sigs = dhash_images(corpus)
+    # the pair join consumes the signature table TWICE (left+right band
+    # explode); without a checkpoint both subtrees regenerate + re-decode
+    # the whole corpus — the plan showed two full gen+kernel MapInPandas
+    # chains. One lazy checkpoint halves the hash-stage cost (guide §2.4:
+    # share the common subtree instead of recomputing it).
+    sigs = dhash_images(corpus).localCheckpoint(eager=False)
     return phash_hamming_pairs(sigs, max_hamming=6)
 
 
@@ -474,7 +479,10 @@ def image_dedup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.images import generate_phash_corpus_df
 
     corpus = generate_phash_corpus_df(spark, _n_for(spark, sf_dir))
-    return wide_hamming_pairs(dhash_wide_images(corpus), max_hamming=7)
+    # checkpoint before the self-join: both band-explode sides share ONE
+    # hash pass instead of regenerating the corpus per side (guide §2.4)
+    sigs = dhash_wide_images(corpus).localCheckpoint(eager=False)
+    return wide_hamming_pairs(sigs, max_hamming=7)
 
 
 @register(
@@ -712,7 +720,11 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = _n_for(spark, sf_dir)
     corpus = generate_phash_corpus_df(spark, n, variants=2)
-    pairs = wide_hamming_pairs(dhash_wide_images(corpus), max_hamming=7)
+    # checkpoint before the self-join — one hash pass, not one per band
+    # side (the un-checkpointed plan ran the corpus gen+decode 4×: twice
+    # for the pair join, twice for the caption legs)
+    sigs = dhash_wide_images(corpus).localCheckpoint(eager=False)
+    pairs = wide_hamming_pairs(sigs, max_hamming=7)
     caps = generate_captions_df(spark, n, variants=2).select(
         "image_id", "caption",
         F.array_distinct(F.split("caption", " ")).alias("toks"),

@@ -85,7 +85,13 @@ def phash_for(pixels: np.ndarray) -> int:
 
 def encode_png(pixels: np.ndarray) -> bytes:
     h, w, _ = pixels.shape
-    raw = b"".join(b"\x00" + pixels[r].tobytes() for r in range(h))
+    # one vectorized scanline buffer (filter byte 0 + row bytes) — byte-
+    # identical to the per-row join it replaced, ~an order of magnitude
+    # less Python-loop overhead per image
+    buf = np.empty((h, w * 3 + 1), dtype=np.uint8)
+    buf[:, 0] = 0
+    buf[:, 1:] = pixels.reshape(h, w * 3)
+    raw = buf.tobytes()
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         return (
@@ -121,20 +127,19 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + ln
     raw = zlib.decompress(idat)
     stride = w * 3 + 1
-    rows = []
-    for r in range(h):
-        line = raw[r * stride : (r + 1) * stride]
-        assert line[0] == 0, "only filter-0 scanlines supported"
-        rows.append(np.frombuffer(line[1:], dtype=np.uint8))
-    return np.vstack(rows).reshape(h, w, 3)
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    assert not arr[:, 0].any(), "only filter-0 scanlines supported"
+    return np.ascontiguousarray(arr[:, 1:]).reshape(h, w, 3)
 
 
 def encode_bmp(pixels: np.ndarray) -> bytes:
     h, w, _ = pixels.shape
     pad = (4 - (w * 3) % 4) % 4
-    rows = b"".join(
-        pixels[r, :, ::-1].tobytes() + b"\x00" * pad for r in range(h - 1, -1, -1)
-    )
+    # vectorized bottom-up BGR row buffer with padding columns — byte-
+    # identical to the per-row join it replaced
+    buf = np.zeros((h, w * 3 + pad), dtype=np.uint8)
+    buf[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)
+    rows = buf.tobytes()
     size = 54 + len(rows)
     header = (
         b"BM"
@@ -150,11 +155,14 @@ def decode_bmp(data: bytes) -> np.ndarray:
     w, h = struct.unpack("<ii", data[18:26])
     pad = (4 - (w * 3) % 4) % 4
     stride = w * 3 + pad
-    out = np.empty((h, w, 3), dtype=np.uint8)
-    for r in range(h):
-        line = data[offset + r * stride : offset + r * stride + w * 3]
-        out[h - 1 - r] = np.frombuffer(line, dtype=np.uint8).reshape(w, 3)[:, ::-1]
-    return out
+    arr = np.frombuffer(
+        data, dtype=np.uint8, count=h * stride, offset=offset
+    ).reshape(h, stride)
+    # strip padding, un-flip rows (bottom-up) and channels (BGR) — value-
+    # identical to the per-row loop it replaced
+    return np.ascontiguousarray(
+        arr[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]
+    )
 
 
 def encode_fake_jpeg(pixels: np.ndarray) -> bytes:
@@ -341,7 +349,9 @@ _DUP_VARIANTS = (
 )
 
 
-def phash_corpus_row(idx: int, dup: bool, variant: int = 0) -> dict:
+def phash_corpus_row(
+    idx: int, dup: bool, variant: int = 0, _base_px: np.ndarray | None = None
+) -> dict:
     """One corpus row. `dup=True` emits near-duplicate `variant` of original
     `idx`: identical pattern AND noise (both derive from the ORIGINAL id), a
     sparse additive perturbation, and a rotated codec — so the pair crosses
@@ -355,7 +365,11 @@ def phash_corpus_row(idx: int, dup: bool, variant: int = 0) -> dict:
     have both regimes planted."""
     base_id = f"pimg{idx:09d}"
     w, h = W_CHOICES[idx % 3], H_CHOICES[idx % 3]
-    px = pattern_pixels_for(base_id, w, h)
+    # `_base_px` lets the batch generator synthesize the base pattern ONCE
+    # per idx and share it across the original + its dup variants (each
+    # variant perturbs a COPY) — same rows, one pixel synthesis instead of
+    # 1 + variants
+    px = pattern_pixels_for(base_id, w, h) if _base_px is None else _base_px
     if dup:
         suffix, stride, delta, rot = _DUP_VARIANTS[variant]
         px = px.copy()
@@ -441,10 +455,15 @@ def generate_phash_corpus_df(spark, n: int, dup_every: int = 7,
             rows = []
             for i in pdf["id"]:
                 idx = int(i)
-                rows.append(phash_corpus_row(idx, dup=False))
+                base_px = pattern_pixels_for(
+                    f"pimg{idx:09d}", W_CHOICES[idx % 3], H_CHOICES[idx % 3]
+                )
+                rows.append(phash_corpus_row(idx, dup=False, _base_px=base_px))
                 if idx % dup_every == 0:
                     for v in range(variants):
-                        rows.append(phash_corpus_row(idx, dup=True, variant=v))
+                        rows.append(phash_corpus_row(
+                            idx, dup=True, variant=v, _base_px=base_px
+                        ))
             yield pd.DataFrame(rows)
 
     return rng.mapInPandas(gen, schema=PHASH_CORPUS_SCHEMA)
