@@ -30,7 +30,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from ..geometry.cells import spark_cell_expr
+from ..geometry.cells import with_cell_column
 from ..spatial.index import PolygonIndex
 
 _CELL = "__pip_cell"
@@ -118,7 +118,9 @@ def pip_join(
     entries = _entries_df(df, index)
     bidx = spark.sparkContext.broadcast(index)
 
-    cand = df.withColumn(_CELL, F.expr(spark_cell_expr(lon, lat, index.level))).join(
+    # staged Morton encode — same cell id as spark_cell_expr, linear-size
+    # plan text instead of the exponential single-expression form
+    cand = with_cell_column(df, _CELL, lon, lat, index.level).join(
         F.broadcast(entries), F.col(_CELL) == F.col("cell"), "inner"
     )
 

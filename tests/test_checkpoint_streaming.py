@@ -1370,6 +1370,56 @@ class TestIncrementalClusters:
             }
             assert got == self._batch_uf(seen), f"diverged at batch {i}"
 
+    def test_hot_batch_guard_bounds_driver_collect(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A pair-quadratic jackpot batch (all-pairs clique, the constant-
+        band flood shape bench_skew plants) must NOT ship its O(n²) edges
+        to the driver: above driverMaxEdges the fold pre-collapses the
+        batch graph distributively and collects only O(vertices) spanning
+        edges — with outputs identical to the raw-edge fold."""
+        import osm2mp_spark.operators.chains as chains
+
+        from osm2mp_spark.streaming.clusters import read_labels
+
+        calls = []
+        orig = chains.min_label_components
+
+        def spy(*a, **k):
+            calls.append(1)
+            return orig(*a, **k)
+
+        monkeypatch.setattr(chains, "min_label_components", spy)
+        spark.conf.set("spark.osm2mp.components.driverMaxEdges", "50")
+        try:
+            root = str(tmp_path / "clusters")
+            # clique of 20 → 190 pairs > 50: guard must take the
+            # distributed pre-collapse (which itself exceeds its own
+            # crossover at 380 undirected edges → real distributed fold)
+            clique = [
+                (a, b)
+                for a in range(100, 120)
+                for b in range(100, 120)
+                if a < b
+            ]
+            self._fold(spark, root, 0, clique)
+            assert calls, "guard did not take the distributed path"
+            got = {
+                int(r.vertex): int(r.label)
+                for r in read_labels(spark, root).collect()
+            }
+            assert got == self._batch_uf(clique)
+            # a later small batch (raw-collect path) must interoperate:
+            # attaching 50 re-roots the jackpot cluster via forwarding
+            self._fold(spark, root, 1, [(50, 100)])
+            got = {
+                int(r.vertex): int(r.label)
+                for r in read_labels(spark, root).collect()
+            }
+            assert got == self._batch_uf(clique + [(50, 100)])
+        finally:
+            spark.conf.unset("spark.osm2mp.components.driverMaxEdges")
+
     def test_forwarding_holds_roots_only_and_compaction_resolves(
         self, spark, tmp_path
     ):
