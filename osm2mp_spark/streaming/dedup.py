@@ -147,7 +147,15 @@ def _commit_compacted(
     _rmtree(tmp)
     write(tmp)
     _rmtree(final)
-    _rename(tmp, final)
+    try:
+        _rename(tmp, final)
+    except IOError:
+        # strict=False callers (the lenient metrics rollup) treat a failed
+        # commit as deferred listing-growth debt — the rename raising here
+        # must not abort them any more than the existence check below would
+        if strict:
+            raise
+        return False
     if not _exists(final):
         if strict:
             raise IOError(
@@ -594,8 +602,30 @@ def _jvm_read_bytes() -> int:
 
 
 def _is_listing_race(e: Exception) -> bool:
+    # message substrings are brittle across Spark/Hadoop versions and
+    # locales — also match exception CLASS names through the Py4J cause
+    # chain (AnalysisException PATH_NOT_FOUND, java FileNotFoundException)
     s = str(e)
-    return "FileNotFound" in s or "does not exist" in s
+    if "FileNotFound" in s or "does not exist" in s:
+        return True
+    try:
+        from pyspark.errors import AnalysisException
+
+        if isinstance(e, AnalysisException):
+            cls = e.getErrorClass()
+            if cls and "PATH_NOT_FOUND" in cls:
+                return True
+    except Exception:
+        pass
+    java_e = getattr(e, "java_exception", None)
+    while java_e is not None:
+        try:
+            if "FileNotFoundException" in java_e.getClass().getName():
+                return True
+            java_e = java_e.getCause()
+        except Exception:
+            break
+    return False
 
 
 BATCH_METRICS_SCHEMA = (

@@ -34,6 +34,9 @@ GOLDEN_QUERIES = [
     "image_dhash_wide", "image_dhash_wide_multi", "image_captions",
     "image_resize_stats", "video_frame_sample",
     "audio_verify", "audio_features", "audio_spectrogram",
+    # spatial leg of the composed flagship_dedup oracle — regenerate with
+    # the rest so it can't silently go stale when spatial kernels change
+    "flagship_image_assign",
 ]
 SF_DIR = "/root/testdata/sf0.01"
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
