@@ -310,6 +310,49 @@ class TestPhashDedup:
                 b ^= 1 << int(f)
             assert any(ka == kb for ka, kb in zip(keys(a), keys(b)))
 
+    def test_multiprobe_lossless_vs_bruteforce(self, spark):
+        """The 4×16-bit multi-probe candidate generator (r6 rewrite of
+        phash_hamming_pairs for thresholds ≤ 7) must EQUAL the brute-force
+        all-pairs join: fuzzed over random signatures with planted variants
+        at distances 0..8, thresholds straddling both probe configs
+        (errors_per_band 0 and 1) and the >7 classic-banding fallback."""
+        import itertools
+        import random
+
+        from osm2mp_spark.operators.images import phash_hamming_pairs
+
+        rnd = random.Random(7)
+
+        def to_signed(u):
+            return u - (1 << 64) if u >= (1 << 63) else u
+
+        rows, base = [], []
+        for i in range(250):
+            u = rnd.getrandbits(64)
+            base.append(u)
+            rows.append((f"id{i:06d}", to_signed(u)))
+        for j in range(80):
+            src = rnd.randrange(250)
+            u = base[src]
+            for b in rnd.sample(range(64), rnd.choice(range(9))):
+                u ^= 1 << b
+            rows.append((f"id{src:06d}v{j}", to_signed(u)))
+        df = spark.createDataFrame(rows, "image_id string, dhash long")
+        for h in (0, 3, 4, 6, 7, 9):
+            got = {
+                (r.id_a, r.id_b, r.hamming)
+                for r in phash_hamming_pairs(df, max_hamming=h).collect()
+            }
+            want = {
+                (ia, ib, d)
+                for (ia, ha), (ib, hb) in itertools.combinations(
+                    sorted(rows), 2
+                )
+                for d in [bin((ha ^ hb) & ((1 << 64) - 1)).count("1")]
+                if d <= h
+            }
+            assert got == want, f"h={h}: {len(got)} vs {len(want)}"
+
     def test_corpus_neardup_separation(self):
         """Planted near-dups sit within the threshold; unrelated pattern
         images sit far outside it (pure-python twin of the Spark kernel
